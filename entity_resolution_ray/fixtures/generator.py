@@ -1,0 +1,342 @@
+"""Deterministic interleaved-document fixture generator (SURVEY.md §7 stage 0).
+
+Produces the ``input_hint`` table — ``(doc_id, spans:list<struct<kind, text,
+media_ref, offset>>)`` — plus oracle side tables ``ground_truth`` and
+``labeled_pairs``, mimicking the reference's fake-identity sampler
+(``am_combiner/utils/random_data.py:137-244``): several true personas may share
+one pseudo-name (same blocking key), mentions-per-name follows a skewed
+distribution, and an optional "hot name" concentrates mentions to exercise
+skew handling.
+
+Persona signal embedded in spans (FIXTURES.md §1):
+
+- the first span of every doc is a ``name`` span carrying a case/accent/
+  punctuation variant of the pseudo-name (all variants normalize to the same
+  name-token blocking key),
+- ``text`` spans are sentences embedding feature values from the persona's
+  private vocabularies (associate persons / orgs / places / locations —
+  analogues of the reference's PERSON/ORG/GPE/LOC NER outputs); personas that
+  share a name get **disjoint** vocabularies so the oracle clustering is
+  unambiguous,
+- ``media`` spans carry ``media_ref`` URIs whose prefix hash-encodes the
+  persona (see functions/vectorize.media_embedding),
+- with probability ``dob_mention_p`` a text span mentions the persona's birth
+  year (drives the negative-evidence splitter).
+
+Everything is a pure function of ``seed`` — no wall clock, no external data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from entity_resolution_ray import schema as S
+
+# --- fixed pools (part of the generator's identity; do not reorder) --------
+FIRST_NAMES = [
+    "james", "mary", "john", "patricia", "robert", "jennifer", "michael",
+    "linda", "william", "elizabeth", "david", "barbara", "richard", "susan",
+    "joseph", "jessica", "thomas", "sarah", "charles", "karen", "daniel",
+    "nancy", "matthew", "lisa", "anthony", "betty", "mark", "margaret",
+    "donald", "sandra", "steven", "ashley", "paul", "kimberly", "andrew",
+    "emily", "joshua", "donna", "kenneth", "michelle",
+]
+LAST_NAMES = [
+    "smith", "johnson", "williams", "brown", "jones", "garcia", "miller",
+    "davis", "rodriguez", "martinez", "hernandez", "lopez", "gonzalez",
+    "wilson", "anderson", "thomas", "taylor", "moore", "jackson", "martin",
+    "lee", "perez", "thompson", "white", "harris", "sanchez", "clark",
+    "ramirez", "lewis", "robinson", "walker", "young", "allen", "king",
+    "wright", "scott", "torres", "nguyen", "hill", "flores",
+]
+ORG_ADJECTIVES = [
+    "Acme", "Borealis", "Cascade", "Dynamo", "Evergreen", "Fairview",
+    "Granite", "Horizon", "Ironwood", "Juniper", "Keystone", "Lakeside",
+    "Meridian", "Northgate", "Obsidian", "Pinnacle", "Quarry", "Redwood",
+    "Summit", "Tidewater", "Umbra", "Vanguard", "Westfield", "Yellowtail",
+]
+ORG_SUFFIXES = ["Corp", "Ltd", "Group", "Holdings", "Partners", "Industries"]
+GPE_GAZETTEER = [
+    "France", "Germany", "Brazil", "Japan", "Canada", "Kenya", "India",
+    "Norway", "Chile", "Egypt", "Peru", "Spain", "Italy", "Poland", "Greece",
+    "Turkey", "Vietnam", "Portugal", "Austria", "Belgium", "Denmark",
+    "Finland", "Hungary", "Ireland", "Jordan", "Latvia", "Morocco", "Nepal",
+    "Oman", "Panama", "Qatar", "Romania", "Senegal", "Thailand", "Uganda",
+    "Uruguay", "Zambia", "Iceland", "Estonia", "Bolivia",
+]
+LOC_GAZETTEER = [
+    "Nile River", "Amazon Basin", "Alps Range", "Sahara Desert",
+    "Lake Tahoe", "Mount Fuji", "Rhine Valley", "Gobi Desert",
+    "Hudson Bay", "Baltic Sea", "Andes Range", "Danube River",
+    "Victoria Falls", "Coral Reef", "Black Forest", "Red Canyon",
+    "Blue Lagoon", "Silver Lake", "Granite Peak", "Crystal Cave",
+]
+FILLER_WORDS = [
+    "report", "meeting", "statement", "project", "market", "public",
+    "company", "agency", "office", "plan", "deal", "review", "record",
+    "media", "press", "local", "annual", "major", "recent", "early",
+    "policy", "budget", "notice", "letter", "filing", "case", "court",
+    "board", "panel", "audit", "survey", "study", "update", "brief",
+    "memo", "draft", "note", "forum", "summit", "session",
+]
+
+TEMPLATES = [
+    "{name} met with {assoc} in {gpe} to discuss the {fill0} about the {fill1}.",
+    "{name} worked at {org} near {loc} according to a {fill0}.",
+    "A {fill0} says {name} joined {assoc} at {org} last year.",
+    "{name} traveled to {gpe} for a {fill0} with {assoc}.",
+    "The {fill0} from {gpe} mentioned {name} and the {fill1} at {org}.",
+    "{name} visited {loc} after the {fill0} in {gpe}.",
+]
+DOB_TEMPLATE = "{name} was born in {dob} according to the {fill0}."
+
+
+@dataclass
+class GeneratorConfig:
+    n_docs: int = 1000
+    seed: int = 42
+    # geometric(p) mentions-per-name, capped — set-A-ish skew
+    mentions_geom_p: float = 0.18
+    mentions_cap: int = 50
+    # P(k true personas behind one name), k = 1..4
+    profiles_dist: tuple = (0.55, 0.30, 0.10, 0.05)
+    # one hot name holding ~this fraction of all docs (0 disables)
+    hot_name_fraction: float = 0.03
+    dob_mention_p: float = 0.3
+    media_span_p: float = 0.7
+    # per-persona vocabulary sizes
+    n_assoc: int = 6
+    n_org: int = 4
+    n_gpe: int = 4
+    n_loc: int = 3
+
+
+def _name_variants(first: str, last: str) -> list[str]:
+    """Surface variants that all normalize to the same name-token key."""
+    f, l = first.capitalize(), last.capitalize()
+    return [
+        f"{f} {l}",
+        f"{f.upper()} {l.upper()}",
+        f"{first} {last}",
+        f"{l}, {f}",
+        f"{f}-{l}",
+        f"{f} {l}".replace("a", "á", 1) if "a" in f"{f} {l}" else f"{f} {l}",
+    ]
+
+
+def generate(out_dir: str, cfg: GeneratorConfig | None = None) -> dict:
+    """Write documents/ground_truth/labeled_pairs parquet + manifest.json.
+
+    Returns the manifest dict.  Idempotent: if a manifest with the same
+    config already exists, generation is skipped.
+    """
+    cfg = cfg or GeneratorConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    cfg_key = json.dumps(cfg.__dict__, sort_keys=True, default=list)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            old = json.load(f)
+        if old.get("config_key") == cfg_key:
+            return old
+
+    rng = np.random.default_rng(cfg.seed)
+
+    # --- 1. name universe with mention counts -----------------------------
+    # distinct (first, last) combos, deterministic order
+    name_pool = [(f, l) for f in FIRST_NAMES for l in LAST_NAMES]
+    rng.shuffle(name_pool)
+
+    names: list[dict] = []
+    docs_budget = cfg.n_docs
+    hot_docs = int(cfg.n_docs * cfg.hot_name_fraction)
+    if hot_docs >= 8:
+        names.append({"first": "john", "last": "smith", "mentions": hot_docs})
+        docs_budget -= hot_docs
+    pool_i = 0
+    while docs_budget > 0 and pool_i < len(name_pool):
+        f, l = name_pool[pool_i]
+        pool_i += 1
+        if f == "john" and l == "smith" and names and names[0]["first"] == "john":
+            continue
+        m = int(min(rng.geometric(cfg.mentions_geom_p) + 1, cfg.mentions_cap))
+        m = min(m, docs_budget)
+        if m < 2 and docs_budget > 2:
+            m = 2  # singleton blocks carry no pair signal; keep ≥2
+        names.append({"first": f, "last": l, "mentions": m})
+        docs_budget -= m
+
+    # --- 2. personas per name, with disjoint vocabularies -----------------
+    probs = np.asarray(cfg.profiles_dist) / sum(cfg.profiles_dist)
+    persona_rows = []
+    global_pid = 0
+    orgs_pool = [f"{a} {s}" for a in ORG_ADJECTIVES for s in ORG_SUFFIXES]
+    assoc_pool = [
+        f"{f.capitalize()} {l.capitalize()}" for f, l in zip(
+            np.repeat(FIRST_NAMES, 3), np.tile(LAST_NAMES, 3)
+        )
+    ]
+    for name in names:
+        k = int(rng.choice(len(probs), p=probs)) + 1
+        if name["mentions"] >= 500:
+            k = max(k, 4)  # hot name: several personas
+        k = min(k, max(1, name["mentions"] // 2))
+        # draw k disjoint vocab slices per feature kind
+        assoc = rng.choice(len(assoc_pool), size=min(len(assoc_pool), cfg.n_assoc * k), replace=False)
+        org = rng.choice(len(orgs_pool), size=min(len(orgs_pool), cfg.n_org * k), replace=False)
+        gpe = rng.choice(len(GPE_GAZETTEER), size=min(len(GPE_GAZETTEER), cfg.n_gpe * k), replace=False)
+        loc = rng.choice(len(LOC_GAZETTEER), size=min(len(LOC_GAZETTEER), cfg.n_loc * k), replace=False)
+        dob_years = 1900 + rng.choice(24, size=k, replace=False) * 5  # ≥5y gaps
+        # split mentions across personas (each ≥1)
+        weights = rng.dirichlet(np.ones(k) * 2.0)
+        counts = np.maximum(1, np.round(weights * name["mentions"]).astype(int))
+        while counts.sum() > name["mentions"]:
+            counts[np.argmax(counts)] -= 1
+        while counts.sum() < name["mentions"]:
+            counts[np.argmin(counts)] += 1
+        for j in range(k):
+            persona_rows.append(
+                {
+                    "pid": global_pid,
+                    "first": name["first"],
+                    "last": name["last"],
+                    "local_code": j,
+                    "n_mentions": int(counts[j]),
+                    "assoc": [assoc_pool[i] for i in assoc[j * cfg.n_assoc : (j + 1) * cfg.n_assoc]],
+                    "org": [orgs_pool[i] for i in org[j * cfg.n_org : (j + 1) * cfg.n_org]],
+                    "gpe": [GPE_GAZETTEER[i] for i in gpe[j * cfg.n_gpe : (j + 1) * cfg.n_gpe]],
+                    "loc": [LOC_GAZETTEER[i] for i in loc[j * cfg.n_loc : (j + 1) * cfg.n_loc]],
+                    "dob_year": int(dob_years[j]),
+                }
+            )
+            global_pid += 1
+
+    # --- 3. emit docs ------------------------------------------------------
+    doc_ids: list[str] = []
+    spans_col: list[list[dict]] = []
+    gt_rows = {"doc_id": [], "blocking_field": [], "ground_truth": [],
+               "cluster_id_global": [], "dob_year": []}
+
+    by_name: dict[str, list[tuple[str, int]]] = {}
+    for p in persona_rows:
+        blocking_field = f"{p['first'].capitalize()} {p['last'].capitalize()}"
+        variants = _name_variants(p["first"], p["last"])
+        name_slug = f"{p['first']}-{p['last']}"
+        for m in range(p["n_mentions"]):
+            seq = len(by_name.setdefault(blocking_field, []))
+            doc_id = f"http://d/{name_slug}/{seq:05d}"
+            by_name[blocking_field].append((doc_id, p["pid"]))
+
+            spans: list[dict] = []
+            offset = 0
+            name_variant = variants[int(rng.integers(len(variants)))]
+            spans.append({"kind": "name", "text": name_variant, "media_ref": "", "offset": offset})
+            offset += len(name_variant) + 1
+
+            n_sent = int(rng.integers(3, 8))
+            a_sel = rng.choice(len(p["assoc"]), size=min(3, len(p["assoc"])), replace=False)
+            o_sel = rng.choice(len(p["org"]), size=min(2, len(p["org"])), replace=False)
+            g_sel = rng.choice(len(p["gpe"]), size=min(2, len(p["gpe"])), replace=False)
+            l_sel = rng.choice(len(p["loc"]), size=1, replace=False)
+            feat = {
+                "assoc": [p["assoc"][i] for i in a_sel],
+                "org": [p["org"][i] for i in o_sel],
+                "gpe": [p["gpe"][i] for i in g_sel],
+                "loc": [p["loc"][i] for i in l_sel],
+            }
+            media_count = 0
+            for s_i in range(n_sent):
+                tpl = TEMPLATES[int(rng.integers(len(TEMPLATES)))]
+                sent = tpl.format(
+                    name=name_variant,
+                    assoc=feat["assoc"][int(rng.integers(len(feat["assoc"])))],
+                    org=feat["org"][int(rng.integers(len(feat["org"])))],
+                    gpe=feat["gpe"][int(rng.integers(len(feat["gpe"])))],
+                    loc=feat["loc"][int(rng.integers(len(feat["loc"])))],
+                    fill0=FILLER_WORDS[int(rng.integers(len(FILLER_WORDS)))],
+                    fill1=FILLER_WORDS[int(rng.integers(len(FILLER_WORDS)))],
+                )
+                spans.append({"kind": "text", "text": sent, "media_ref": "", "offset": offset})
+                offset += len(sent) + 1
+                if rng.random() < cfg.media_span_p / n_sent * 2:
+                    ref = f"media://p{p['pid']:06d}/{seq:05d}-{media_count}"
+                    spans.append({"kind": "media", "text": "", "media_ref": ref, "offset": offset})
+                    offset += 1
+                    media_count += 1
+            if rng.random() < cfg.dob_mention_p:
+                sent = DOB_TEMPLATE.format(
+                    name=name_variant, dob=p["dob_year"],
+                    fill0=FILLER_WORDS[int(rng.integers(len(FILLER_WORDS)))],
+                )
+                spans.append({"kind": "text", "text": sent, "media_ref": "", "offset": offset})
+                offset += len(sent) + 1
+
+            doc_ids.append(doc_id)
+            spans_col.append(spans)
+            gt_rows["doc_id"].append(doc_id)
+            gt_rows["blocking_field"].append(blocking_field)
+            gt_rows["ground_truth"].append(p["local_code"])
+            gt_rows["cluster_id_global"].append(p["pid"])
+            gt_rows["dob_year"].append(p["dob_year"])
+
+    docs_table = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.string()),
+         "spans": pa.array(spans_col, pa.list_(S.SPAN_STRUCT))}
+    )
+    gt_table = pa.table(
+        {k: pa.array(v) for k, v in gt_rows.items()},
+        schema=S.GROUND_TRUTH_SCHEMA,
+    )
+
+    # --- 4. exhaustive intra-block labeled pairs ---------------------------
+    lp = {"blocking_field": [], "doc_a": [], "doc_b": [], "is_match": []}
+    for bf, members in by_name.items():
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                lp["blocking_field"].append(bf)
+                lp["doc_a"].append(members[i][0])
+                lp["doc_b"].append(members[j][0])
+                lp["is_match"].append(members[i][1] == members[j][1])
+    lp_table = pa.table({k: pa.array(v) for k, v in lp.items()}, schema=S.LABELED_PAIRS_SCHEMA)
+
+    pq.write_table(docs_table, os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(gt_table, os.path.join(out_dir, "ground_truth.parquet"))
+    pq.write_table(lp_table, os.path.join(out_dir, "labeled_pairs.parquet"))
+
+    def _tbl_hash(t: pa.Table) -> str:
+        h = hashlib.blake2b(digest_size=8)
+        for col in sorted(t.column_names):
+            h.update(str(t[col].to_pylist()).encode())
+        return h.hexdigest()
+
+    manifest = {
+        "config_key": cfg_key,
+        "seed": cfg.seed,
+        "n_docs": len(doc_ids),
+        "n_names": len(by_name),
+        "n_personas": global_pid,
+        "n_labeled_pairs": lp_table.num_rows,
+        "hashes": {
+            "documents": _tbl_hash(docs_table),
+            "ground_truth": _tbl_hash(gt_table),
+            "labeled_pairs": _tbl_hash(lp_table),
+        },
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+def fixture_dir_for(n_docs: int, seed: int = 42, root: str = "/tmp/er_fixtures") -> str:
+    """Generate (once) and return the fixture dir for a given scale."""
+    out = os.path.join(root, f"docs{n_docs}_seed{seed}")
+    generate(out, GeneratorConfig(n_docs=n_docs, seed=seed))
+    return out

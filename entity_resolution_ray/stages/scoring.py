@@ -1,0 +1,132 @@
+"""Pair-scoring stage: actor pool holding stateful similarity models.
+
+Reference semantics reproduced:
+
+- boosted score = cosine + clip(Σ feature intersections, 0, max_energy) /
+  max_energy — ``TFIDFAndFeaturesCosineSimilarityCombiner._enhance_pairwise_
+  similarities`` (``am_combiner/combiners/tfidf.py:296-353``),
+- edge accepted when score > th (strict >) —
+  ``_get_adjacency_from_similarities`` (``am_combiner/combiners/tfidf.py:244-260``),
+- negative evidence: DOB-year sets farther apart than ``distance`` ⇒ negative
+  edge (``get_feature_negative_edge_matrix``,
+  ``am_combiner/utils/adjacency.py:117-172``), applied in delete-edges mode
+  (``DeleteNegativeEdgesSplitter``, ``am_combiner/splitters/common.py:181-216``;
+  deleting negative pairs before the connected-components pass yields the same
+  final partition as reference's cluster-then-split, since CC of (pos − neg)
+  refines each positive component independently).
+
+North-rule additions: batched Jaro-Winkler on name spans and embedding cosine
+on media_ref features, both held as per-actor state (memo caches / embedder).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from entity_resolution_ray.functions.text import jaro_winkler
+from entity_resolution_ray.functions.vectorize import MEDIA_EMBED_DIM, media_embedding
+
+
+@dataclass
+class ScoreConfig:
+    th: float = 0.60
+    max_energy: float = 3.0
+    w_cosine: float = 1.0
+    w_feature: float = 1.0
+    w_jw: float = 0.10
+    w_media: float = 0.25
+    dob_distance: int = 5
+
+
+def dob_negative(src_dob, dst_dob, distance: int) -> bool:
+    """Reference negative-edge rule for numeric feature sets with a distance."""
+    if src_dob is None or dst_dob is None or len(src_dob) == 0 or len(dst_dob) == 0:
+        return False
+    s1, s2 = (src_dob, dst_dob) if min(src_dob) <= min(dst_dob) else (dst_dob, src_dob)
+    return (min(s2) - max(s1)) > distance
+
+
+class PairScorer:
+    """Actor-pool stage: batched JW + media-embedding cosine + boosted score."""
+
+    def __init__(self, config: ScoreConfig | None = None):
+        self.cfg = config or ScoreConfig()
+        self._jw_cache: dict[tuple[str, str], float] = {}
+        self._emb_cache: dict[str, np.ndarray] = {}
+
+    def _jw(self, a: str, b: str) -> float:
+        key = (a, b) if a <= b else (b, a)
+        v = self._jw_cache.get(key)
+        if v is None:
+            v = jaro_winkler(key[0], key[1])
+            if len(self._jw_cache) < 200_000:
+                self._jw_cache[key] = v
+            return v
+        return v
+
+    def _mean_embedding(self, refs) -> np.ndarray | None:
+        if refs is None or len(refs) == 0:
+            return None
+        acc = np.zeros(MEDIA_EMBED_DIM, dtype=np.float64)
+        for r in refs:
+            e = self._emb_cache.get(r)
+            if e is None:
+                e = media_embedding(r)
+                if len(self._emb_cache) < 500_000:
+                    self._emb_cache[r] = e
+            acc += e
+        norm = np.linalg.norm(acc)
+        return acc / norm if norm > 0 else None
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        cfg = self.cfg
+        n = len(batch)
+        jw = np.empty(n, dtype=np.float64)
+        media_cos = np.zeros(n, dtype=np.float64)
+        neg = np.zeros(n, dtype=bool)
+
+        src_names = batch["src_name"].to_numpy()
+        dst_names = batch["dst_name"].to_numpy()
+        src_media = list(batch["src_media"])
+        dst_media = list(batch["dst_media"])
+        src_dob = list(batch["src_dob"])
+        dst_dob = list(batch["dst_dob"])
+        for i in range(n):
+            jw[i] = self._jw(src_names[i], dst_names[i])
+            ea = self._mean_embedding(src_media[i])
+            eb = self._mean_embedding(dst_media[i])
+            if ea is not None and eb is not None:
+                media_cos[i] = float(ea @ eb)
+            neg[i] = dob_negative(src_dob[i], dst_dob[i], cfg.dob_distance)
+
+        weight = batch["weight"].to_numpy(dtype=np.float64)
+        cosine = batch["cosine"].to_numpy(dtype=np.float64)
+        boost = np.clip(weight, 0, cfg.max_energy) / cfg.max_energy
+        score = (
+            cfg.w_cosine * cosine
+            + cfg.w_feature * boost
+            + cfg.w_jw * jw
+            + cfg.w_media * np.maximum(media_cos, 0.0)
+        )
+        out = batch[["block_key", "src", "dst", "weight", "cosine"]].copy()
+        out["jw"] = jw
+        out["media_cos"] = media_cos
+        out["neg_dob"] = neg
+        out["score"] = score
+        out["accepted"] = (score > cfg.th) & ~neg
+        return out
+
+
+def score_pairs(pairs_ds, config: ScoreConfig | None = None,
+                concurrency=(2, 8), batch_size: int = 8192):
+    """Run the scorer actor pool; returns the scored-pair (edge) table."""
+    return pairs_ds.map_batches(
+        PairScorer,
+        fn_constructor_kwargs={"config": config},
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

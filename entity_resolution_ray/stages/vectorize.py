@@ -1,0 +1,93 @@
+"""Vectorization stage: hashed sparse TF columns + distributed IDF fit.
+
+Reference analogue: ``FullArticleTextVectoriser``
+(``am_combiner/features/vectorisation.py:18-66``) — a pre-fitted sklearn
+TfidfVectorizer pickled to an artifact and loaded per visitor.  Here the
+vectorizer is a pure hashing function (no vocabulary object) and the IDF
+weights are fitted *distributed*: one dense document-frequency partial per
+batch, summed on the driver (a fixed-size ~1 MB vector per batch — not a
+data-sized materialization), then broadcast via ``ray.put`` to every consumer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from entity_resolution_ray import schema as S
+from entity_resolution_ray.functions.vectorize import (
+    DEFAULT_DIM,
+    HashedVectorizer,
+    smooth_idf,
+)
+
+
+class TfVectorizer:
+    """Actor-pool stage: append sparse hashed-TF columns tf_idx / tf_cnt."""
+
+    def __init__(self, dim: int = DEFAULT_DIM):
+        self.vec = HashedVectorizer(dim)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # drop entity-name tokens before hashing (reference name-replacement
+        # semantics); name_tokens column is present after the feature stage
+        excl = None
+        if "name_tokens" in batch.column_names:
+            from entity_resolution_ray.functions.text import name_keyword_tokens
+
+            excl = [
+                set(name_keyword_tokens(n or "", min_len=1))
+                for n in batch[S.ENTITY_NAME].to_pylist()
+            ]
+        idx_rows, cnt_rows = self.vec.transform_sparse(
+            batch[S.CONTENT].to_pylist(), exclude_rows=excl
+        )
+        return batch.append_column(
+            "tf_idx", pa.array([r.tolist() for r in idx_rows], pa.list_(pa.int64()))
+        ).append_column(
+            "tf_cnt",
+            pa.array([r.tolist() for r in cnt_rows], pa.list_(pa.float32())),
+        )
+
+
+def add_tf_columns(ds, dim: int = DEFAULT_DIM, concurrency=(2, 8), batch_size=1024):
+    return ds.map_batches(
+        TfVectorizer,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _df_partial(batch: pa.Table, dim: int) -> pa.Table:
+    df = np.zeros(dim, dtype=np.float32)
+    tf_idx = batch["tf_idx"]
+    if isinstance(tf_idx, pa.ChunkedArray):
+        tf_idx = tf_idx.combine_chunks()
+    import pyarrow.compute as pc
+
+    flat = pc.list_flatten(tf_idx).to_numpy(zero_copy_only=False)
+    np.add.at(df, flat, 1.0)  # upper bound: counts repeats, but tf_idx is unique per row
+    return pa.table(
+        {"df_blob": pa.array([df.tobytes()], pa.binary()), "n_docs": pa.array([len(batch)], pa.int64())}
+    )
+
+
+def fit_idf(ds_with_tf, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """Distributed document-frequency → smooth-idf fit over tf_idx columns."""
+    partials = ds_with_tf.map_batches(
+        lambda b: _df_partial(b, dim), batch_format="pyarrow", batch_size=4096
+    ).take_all()  # one small row per batch
+    df = np.zeros(dim, dtype=np.float64)
+    n = 0
+    for row in partials:
+        df += np.frombuffer(row["df_blob"], dtype=np.float32)
+        n += row["n_docs"]
+    return smooth_idf(df, max(n, 1))
+
+
+def broadcast_idf(idf: np.ndarray) -> "ray.ObjectRef":
+    return ray.put(idf)
