@@ -35,16 +35,28 @@ class ERConfig:
     tf_dim: int = 1 << 18
     cc_mode: str = "labelprop"  # or "local"
     use_idf: bool = True
-    concurrency: tuple = (2, 8)
+    concurrency: tuple = (1, 8)
+    # single-file fixtures read as one block; spread them so the feature
+    # stages parallelize (real 100TB inputs arrive pre-sharded)
+    min_read_partitions: int = 16
 
 
-def read_documents(path: str):
-    """documents table (doc_id, spans) from parquet (lance-shaped)."""
-    return rd.read_parquet(path)
+def read_documents(path: str, min_partitions: int = 16):
+    """documents table (doc_id, spans) from parquet (lance-shaped).
+
+    ``override_num_blocks`` spreads single-file fixtures across workers; real
+    100TB inputs arrive pre-sharded and use the natural file partitioning.
+    """
+    return rd.read_parquet(path, override_num_blocks=min_partitions)
 
 
 def featured_documents(docs_ds, cfg: ERConfig | None = None):
     cfg = cfg or ERConfig()
+    try:
+        if docs_ds.num_blocks() < cfg.min_read_partitions:
+            docs_ds = docs_ds.repartition(cfg.min_read_partitions)
+    except NotImplementedError:
+        pass  # lazy dataset: reads already set override_num_blocks
     ds = normalize(docs_ds)
     ds = extract_features(ds, concurrency=cfg.concurrency)
     ds = add_tf_columns(ds, dim=cfg.tf_dim, concurrency=cfg.concurrency)

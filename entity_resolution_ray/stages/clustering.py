@@ -3,24 +3,33 @@
 Reference analogue: per-block dense ``nx.connected_components``
 (``am_combiner/combiners/common.py:138-177``) over an in-memory adjacency
 matrix, blocks processed sequentially.  Here edges live in a pair table and
-components are computed two ways:
+components are computed distributed:
 
 1. ``connected_components_labelprop`` — the scale path required by the north
-   rule: iterative **min-label propagation over the edge Dataset**, each round
-   one bucket-partitioned cogroup (edges ⋈ labels, vectorized pandas merge per
-   bucket) + one ``groupby(node).aggregate(Min)``.  Convergence is detected by
-   an exact python-int sum of labels (monotonically decreasing under min-
-   propagation).  O(diameter) rounds; record-linkage components are blocking-
-   key-local, so diameters are small.
+   rule.  Two phases:
+   (a) **per-bucket contraction**: edges are hash-bucketed by ``min(u,v)`` and
+   each bucket's subgraph is collapsed with vectorized local union-find (one
+   groupby shuffle).  Components that live entirely inside one bucket are done
+   after this phase.
+   (b) **iterative min-label propagation** over the *contracted* representative
+   graph (nodes whose component spans buckets): each round is one
+   bucket-cogrouped join (edges ⋈ labels) + one ``groupby(node).aggregate(Min)``
+   — the groupby-aggregate label-propagation loop, now over a table that is
+   orders of magnitude smaller than the input.  Convergence detected by an
+   exact arbitrary-precision label checksum (monotone under min-propagation).
 
 2. ``connected_components_local`` — block-local fast path: edges grouped by
-   ``block_key``; per-group numpy union-find.  Valid only under the documented
+   ``block_key``; per-group union-find.  Valid only under the documented
    partitioning assumption that no edge crosses blocks (true for the flagship
    pipeline, false for cross-key near-dedup — which must use path 1).
 
-Node ids are strings; labels are uint64 stable hashes (collision probability
-~n²/2⁶⁴, negligible).  Final cluster id = min doc-id-hash of the component,
-hex-encoded — deterministic across runs and cluster sizes.
+Node ids are strings; labels are int64 stable hashes (collision probability
+~n²/2⁶⁴, negligible).  Final cluster id = min doc-id-hash of the component —
+deterministic across runs, partitionings and cluster sizes.
+
+Implementation note: every label/edge table keeps int64 columns null-free
+(explicit flag columns, never null sentinels) — pandas coerces nullable int64
+to float64, which silently corrupts 64-bit hash ids.
 """
 
 from __future__ import annotations
@@ -29,14 +38,15 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 from ray.data.aggregate import Min
 
 from entity_resolution_ray.utils.hashing import hash64_array
 
 
-# --- numpy union-find (block-local fast path) ------------------------------
+# --- numpy union-find ------------------------------------------------------
 def union_find(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-    """Root label per node for n nodes and integer edge arrays."""
+    """Root index per node for n nodes and integer edge arrays."""
     parent = np.arange(n, dtype=np.int64)
 
     def find(x: int) -> int:
@@ -54,78 +64,108 @@ def union_find(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    # path-compress all
     for i in range(n):
         find(i)
     return parent
 
 
-def _cc_group_local(group: pd.DataFrame) -> pd.DataFrame:
-    src = group["src"].to_numpy()
-    dst = group["dst"].to_numpy()
+def _uf_min_labels(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(nodes, min-valued label per node) for one in-memory edge list."""
     nodes = np.unique(np.concatenate([src, dst]))
     index = {v: i for i, v in enumerate(nodes)}
-    si = np.fromiter((index[v] for v in src), dtype=np.int64, count=len(src))
-    di = np.fromiter((index[v] for v in dst), dtype=np.int64, count=len(dst))
+    si = np.fromiter((index[x] for x in src), dtype=np.int64, count=len(src))
+    di = np.fromiter((index[x] for x in dst), dtype=np.int64, count=len(dst))
     roots = union_find(len(nodes), si, di)
-    labels = nodes[roots]  # min doc_id not guaranteed; use root repr then min-fix
-    # make label = min node id within each component (deterministic)
-    df = pd.DataFrame({"node": nodes, "root": labels})
-    min_per_root = df.groupby("root")["node"].transform("min")
-    return pd.DataFrame({"node": nodes, "label": min_per_root.to_numpy()})
+    df = pd.DataFrame({"root": roots, "node": nodes})
+    labels = df.groupby("root")["node"].transform("min").to_numpy()
+    return nodes, labels
+
+
+# --- block-local fast path -------------------------------------------------
+def _cc_group_local(group: pd.DataFrame) -> pd.DataFrame:
+    nodes, labels = _uf_min_labels(group["src"].to_numpy(), group["dst"].to_numpy())
+    return pd.DataFrame({"node": nodes, "label": labels})
 
 
 def connected_components_local(edges_ds, block_col: str = "block_key"):
-    """Per-block union-find; requires all edges of a component share block_col."""
+    """Per-block union-find; requires all edges of a component share block_col.
+
+    Returns (node, label) with string node ids and string labels (min doc id).
+    """
     return edges_ds.groupby(block_col).map_groups(
-        lambda g: _cc_group_local(g), batch_format="pandas"
+        _cc_group_local, batch_format="pandas"
     )
 
 
-# --- distributed min-label propagation -------------------------------------
-def _prep_edges(edges_ds, num_buckets: int):
-    """(src,dst) strings → undirected hashed edges with bucket column."""
+# --- distributed path ------------------------------------------------------
+def _hash_edge_table(edges_ds, num_buckets: int):
+    """(src,dst) strings → (u,v:int64 hash, bucket by min endpoint)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        src = hash64_array(batch["src"].to_pylist()).view(np.int64)
-        dst = hash64_array(batch["dst"].to_pylist()).view(np.int64)
-        u = np.concatenate([src, dst])
-        v = np.concatenate([dst, src])
+        u = hash64_array(batch["src"].to_pylist()).view(np.int64)
+        v = hash64_array(batch["dst"].to_pylist()).view(np.int64)
+        m = np.minimum(u, v)
         return pa.table(
             {
-                "node": pa.array(u),
-                "nbr": pa.array(v),
-                "bucket": pa.array((u % num_buckets + num_buckets) % num_buckets),
+                "u": pa.array(u),
+                "v": pa.array(v),
+                "bucket": pa.array((m % num_buckets + num_buckets) % num_buckets),
             }
         )
 
     return edges_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _label_sum(labels_ds) -> int:
-    """Exact (arbitrary-precision) checksum of the label column; partials are
+def _local_uf_group(group: pd.DataFrame) -> pd.DataFrame:
+    nodes, reps = _uf_min_labels(group["u"].to_numpy(), group["v"].to_numpy())
+    return pd.DataFrame({"node": nodes, "rep": reps})
+
+
+def _rep_chain_edges(group: pd.DataFrame) -> pd.DataFrame:
+    reps = np.unique(group["rep"].to_numpy())
+    if len(reps) < 2:
+        return pd.DataFrame(
+            {"u": np.empty(0, np.int64), "v": np.empty(0, np.int64)}
+        )
+    return pd.DataFrame({"u": reps[:-1], "v": reps[1:]})
+
+
+def _label_checksum(labels_ds) -> int:
+    """Exact (arbitrary-precision) sum of the label column; partials are
     stringified so they never overflow int64."""
 
     def partial(t: pa.Table) -> pa.Table:
-        s = sum(t["label"].to_pylist())
-        return pa.table({"s": pa.array([str(s)], pa.string())})
+        return pa.table({"s": pa.array([str(sum(t["label"].to_pylist()))], pa.string())})
 
     parts = labels_ds.map_batches(partial, batch_format="pyarrow").take_all()
     return sum(int(r["s"]) for r in parts)
 
 
-def connected_components_labelprop(edges_ds, num_buckets: int = 32,
-                                   max_iter: int = 50):
-    """Edge Dataset (src,dst strings) → (node:int64 hash, label:int64 hash).
+def labelprop_int_edges(int_edges_ds, num_buckets: int = 32, max_iter: int = 50):
+    """Iterative groupby-aggregate min-label propagation on (u,v:int64) edges.
 
-    Iterative groupby-aggregate min-label propagation; one cogroup join + one
-    Min aggregate per round, both bucket-partitioned shuffles.
-
-    Implementation note: the cogroup keeps an explicit ``is_label`` flag
-    instead of null sentinels — pandas coerces nullable int64 to float64,
-    which silently corrupts 64-bit hash ids.
+    Returns a Dataset (node:int64, label:int64).  Each round: bucket-cogrouped
+    join of edges with current labels (vectorized pandas merge per bucket) →
+    neighbor messages → ``groupby(node).aggregate(Min(label))``.
     """
-    edges = _prep_edges(edges_ds, num_buckets).materialize()
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        nbr = np.concatenate([v, u])
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "nbr": pa.array(nbr),
+                "bucket": pa.array((node % num_buckets + num_buckets) % num_buckets),
+            }
+        )
+
+    edges = int_edges_ds.map_batches(undirect, batch_format="pyarrow").materialize()
+    # small graphs in few blocks: shuffle fan-out follows input block count
+    nparts = max(1, min(edges.num_blocks(), num_buckets))
+    edges = edges.repartition(nparts).materialize()
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"], "label": batch["node"]})
@@ -136,17 +176,18 @@ def connected_components_labelprop(edges_ds, num_buckets: int = 32,
         .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
-    prev_sum = _label_sum(labels)
+    prev_sum = _label_checksum(labels)
 
     def tag_labels(batch: pa.Table) -> pa.Table:
         node = batch["node"].to_numpy(zero_copy_only=False)
+        n = len(batch)
         return pa.table(
             {
                 "node": batch["node"],
-                "nbr": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                "nbr": pa.array(np.zeros(n, dtype=np.int64)),
                 "bucket": pa.array((node % num_buckets + num_buckets) % num_buckets),
                 "label": batch["label"],
-                "is_label": pa.array(np.ones(len(batch), dtype=np.int8)),
+                "is_label": pa.array(np.ones(n, dtype=np.int8)),
             }
         )
 
@@ -185,13 +226,62 @@ def connected_components_labelprop(edges_ds, num_buckets: int = 32,
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
-        new_sum = _label_sum(labels)
+        new_sum = _label_checksum(labels)
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
     return labels
 
 
+def connected_components_labelprop(edges_ds, num_buckets: int = 32,
+                                   max_iter: int = 50):
+    """Edge Dataset (src,dst strings) → (node:int64 hash, label:int64 hash).
+
+    Per-bucket union-find contraction, then iterative label propagation over
+    the contracted representative graph (see module docstring).
+    """
+    hashed = _hash_edge_table(edges_ds, num_buckets).materialize()
+    hashed = hashed.repartition(
+        max(1, min(hashed.num_blocks(), num_buckets))
+    )
+    node_reps = (
+        hashed.groupby("bucket")
+        .map_groups(_local_uf_group, batch_format="pandas")
+        .materialize()
+    )
+
+    rep_edges = node_reps.groupby("node").map_groups(
+        _rep_chain_edges, batch_format="pandas"
+    ).materialize()
+
+    if rep_edges.count() == 0:
+        return node_reps.map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["rep"]}),
+            batch_format="pyarrow",
+        )
+
+    rep_labels = labelprop_int_edges(
+        rep_edges, num_buckets=num_buckets, max_iter=max_iter
+    ).to_pandas()
+    rep_map = dict(
+        zip(rep_labels["node"].to_numpy(), rep_labels["label"].to_numpy())
+    )
+    rep_map_ref = ray.put(rep_map)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.stages.blocking import fetch_broadcast
+
+        rmap = fetch_broadcast(rep_map_ref)
+        reps = batch["rep"].to_numpy(zero_copy_only=False)
+        labels = np.fromiter(
+            (rmap.get(int(r), int(r)) for r in reps), dtype=np.int64, count=len(reps)
+        )
+        return pa.table({"node": batch["node"], "label": pa.array(labels)})
+
+    return node_reps.map_batches(finalize, batch_format="pyarrow")
+
+
+# --- cluster assignment ----------------------------------------------------
 def assign_clusters(docs_ds, edges_ds, mode: str = "labelprop",
                     id_col: str = "doc_id", block_col: str = "block_key",
                     num_buckets: int = 32):
@@ -204,33 +294,33 @@ def assign_clusters(docs_ds, edges_ds, mode: str = "labelprop",
     """
     n_edges = edges_ds.count()
     if n_edges == 0:
-        label_df = pd.DataFrame({"node": np.empty(0, np.int64),
-                                 "label": np.empty(0, np.int64)})
+        label_df = pd.DataFrame(
+            {"node": np.empty(0, np.int64), "label": np.empty(0, np.int64)}
+        )
     elif mode == "labelprop":
         labels = connected_components_labelprop(edges_ds, num_buckets=num_buckets)
         label_df = labels.to_pandas()
-        if label_df.empty and "node" not in label_df.columns:
-            label_df = pd.DataFrame({"node": np.empty(0, np.int64),
-                                     "label": np.empty(0, np.int64)})
+        if "node" not in label_df.columns:
+            label_df = pd.DataFrame(
+                {"node": np.empty(0, np.int64), "label": np.empty(0, np.int64)}
+            )
     else:
         labels = connected_components_local(edges_ds, block_col=block_col)
         ldf = labels.to_pandas()
         node_hash = hash64_array(ldf["node"].tolist()).view(np.int64)
-        lbl_hash = hash64_array(ldf["label"].tolist()).view(np.int64)
-        # per component the label is the min *doc_id string*; remap to the min
-        # hash within the component for a representation identical to labelprop
+        # per component the local label is the min *doc_id string*; remap to
+        # the min hash within the component to match labelprop's output
         df = pd.DataFrame({"node": node_hash, "comp": ldf["label"], "h": node_hash})
         min_h = df.groupby("comp")["h"].transform("min")
         label_df = pd.DataFrame({"node": node_hash, "label": min_h.to_numpy()})
-
-    from entity_resolution_ray.stages.blocking import fetch_broadcast  # noqa
-    import ray
 
     label_map_ref = ray.put(
         dict(zip(label_df["node"].to_numpy(), label_df["label"].to_numpy()))
     )
 
     def attach(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.stages.blocking import fetch_broadcast
+
         lmap = fetch_broadcast(label_map_ref)
         ids = batch[id_col].to_pylist()
         h = hash64_array(ids).view(np.int64)

@@ -125,7 +125,7 @@ class FeatureTagger:
         return out
 
 
-def extract_features(ds, concurrency: int | tuple = (2, 8), batch_size: int = 1024):
+def extract_features(ds, concurrency: int | tuple = (1, 8), batch_size: int = 1024):
     """Run the tagger as an actor-pool map_batches stage."""
     return ds.map_batches(
         FeatureTagger,

@@ -51,36 +51,62 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "left",
 
 
 def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):
-    """Partitioned hash join of two Datasets on equal-named key columns."""
+    """Partitioned hash join of two Datasets on equal-named key columns.
+
+    Both sides are padded to one shared Arrow schema with *typed* nulls (the
+    padding stays on the Arrow side — pandas would coerce nullable int64 to
+    float64 and corrupt 64-bit ids), unioned with a side tag, grouped by
+    bucket, and pandas-merged per bucket after splitting sides again.
+    """
+    import pyarrow as pa
+
     on = [on] if isinstance(on, str) else list(on)
 
-    l_cols = left_ds.schema().names
-    r_cols = right_ds.schema().names
+    def _arrow_schema(ds) -> pa.Schema:
+        s = ds.schema().base_schema
+        if isinstance(s, pa.Schema):
+            return s
+        # pandas-backed dataset: sample one arrow batch for true types
+        batch = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
+        return batch.schema
+
+    l_schema = _arrow_schema(left_ds)
+    r_schema = _arrow_schema(right_ds)
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
     shared = [c for c in r_cols if c in l_cols and c not in on]
     if shared:
         raise ValueError(f"non-key columns appear on both sides: {shared}")
 
-    def _tag(side: str):
-        def fn(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["__bucket"] = _bucket_col(batch, on, num_buckets)
-            batch["__side"] = side
-            return batch
+    all_fields = [(n, l_schema.field(n).type) for n in l_cols] + [
+        (n, r_schema.field(n).type) for n in r_cols if n not in on
+    ]
+
+    def _tag(side: str, own_cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            key_df = pd.DataFrame({c: batch[c].to_pandas() for c in on})
+            cols = {}
+            for name, typ in all_fields:
+                cols[name] = (
+                    batch[name] if name in own_cols else pa.nulls(n, typ)
+                )
+            cols["__bucket"] = pa.array(_bucket_col(key_df, on, num_buckets))
+            cols["__side"] = pa.array([side] * n, pa.string())
+            return pa.table(cols)
 
         return fn
 
-    tagged = left_ds.map_batches(_tag("l"), batch_format="pandas").union(
-        right_ds.map_batches(_tag("r"), batch_format="pandas")
+    tagged = left_ds.map_batches(_tag("l", l_cols), batch_format="pyarrow").union(
+        right_ds.map_batches(_tag("r", r_cols), batch_format="pyarrow")
     )
 
-    out_cols = [c for c in l_cols + r_cols if c not in on]
+    def _merge_bucket(group: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
 
-    def _merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        lhs = group[group["__side"] == "l"]
-        rhs = group[group["__side"] == "r"]
-        lhs = lhs[[c for c in l_cols]]
-        rhs = rhs[[c for c in r_cols]]
-        merged = lhs.merge(rhs, on=on, how=how)
-        return merged[on + [c for c in out_cols if c in merged.columns]]
+        side = pc.equal(group["__side"], "l")
+        lhs = group.filter(side).select(l_cols).to_pandas()
+        rhs = group.filter(pc.invert(side)).select(r_cols).to_pandas()
+        return lhs.merge(rhs, on=on, how=how)
 
-    return tagged.groupby("__bucket").map_groups(_merge_bucket, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(_merge_bucket, batch_format="pyarrow")

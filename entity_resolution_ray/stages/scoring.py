@@ -121,7 +121,7 @@ class PairScorer:
 
 
 def score_pairs(pairs_ds, config: ScoreConfig | None = None,
-                concurrency=(2, 8), batch_size: int = 8192):
+                concurrency=(1, 8), batch_size: int = 8192):
     """Run the scorer actor pool; returns the scored-pair (edge) table."""
     return pairs_ds.map_batches(
         PairScorer,

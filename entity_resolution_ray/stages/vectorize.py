@@ -52,7 +52,7 @@ class TfVectorizer:
         )
 
 
-def add_tf_columns(ds, dim: int = DEFAULT_DIM, concurrency=(2, 8), batch_size=1024):
+def add_tf_columns(ds, dim: int = DEFAULT_DIM, concurrency=(1, 8), batch_size=1024):
     return ds.map_batches(
         TfVectorizer,
         fn_constructor_kwargs={"dim": dim},

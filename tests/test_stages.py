@@ -1,0 +1,109 @@
+"""Stage tests under a live Ray session: normalize, generator, CC, joins."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from entity_resolution_ray import schema as S
+from entity_resolution_ray.stages.clustering import (
+    connected_components_labelprop,
+    connected_components_local,
+    union_find,
+)
+from entity_resolution_ray.stages.joins import broadcast_join, hash_join
+from entity_resolution_ray.stages.normalize import derive_from_spans
+from entity_resolution_ray.utils.hashing import hash64_array
+
+
+def test_generator_deterministic(fixture_1k):
+    import json
+
+    with open(os.path.join(fixture_1k, "manifest.json")) as f:
+        manifest = json.load(f)
+    # pinned hashes: the generator is a pure function of the seed
+    assert manifest["n_docs"] == 1000
+    assert manifest["hashes"]["documents"] == "02e52538cf73c925"
+    assert manifest["hashes"]["ground_truth"] == "3fa37950ba1cdd30"
+    assert manifest["hashes"]["labeled_pairs"] == "f42120017c5a3e94"
+
+
+def test_normalize_derives_and_preserves_spans(fixture_1k):
+    t = pq.read_table(os.path.join(fixture_1k, "documents.parquet")).slice(0, 50)
+    out = derive_from_spans(t)
+    assert out[S.SPANS].to_pylist() == t[S.SPANS].to_pylist()
+    row = out.slice(0, 1).to_pylist()[0]
+    name_spans = [s for s in row["spans"] if s["kind"] == "name"]
+    text_spans = [s for s in row["spans"] if s["kind"] == "text"]
+    media_spans = [s for s in row["spans"] if s["kind"] == "media"]
+    assert row["entity_name"] == name_spans[0]["text"]
+    assert row["content"] == " ".join(s["text"] for s in text_spans)
+    assert row["media_refs"] == [s["media_ref"] for s in media_spans]
+
+
+def test_union_find_basic():
+    parent = union_find(5, np.array([0, 1, 3]), np.array([1, 2, 4]))
+    assert parent[0] == parent[1] == parent[2]
+    assert parent[3] == parent[4]
+    assert parent[0] != parent[3]
+
+
+def test_labelprop_matches_local_cc():
+    rng = np.random.default_rng(3)
+    docs = [f"d{i:03d}" for i in range(60)]
+    # random edges within 6 disjoint "blocks" of 10
+    edges = []
+    for b in range(6):
+        members = docs[b * 10 : (b + 1) * 10]
+        for _ in range(12):
+            a, c = rng.choice(members, 2, replace=False)
+            edges.append({"src": a, "dst": c, "block_key": f"b{b}"})
+    eds = rd.from_items(edges)
+    lp = connected_components_labelprop(eds, num_buckets=8).to_pandas()
+    loc = connected_components_local(eds).to_pandas()
+
+    # same partition: map node-hash → label for labelprop; node string → min
+    # hash label for local
+    h = {d: np.int64(np.uint64(hash64_array([d])[0])) for d in docs}
+    lp_map = dict(zip(lp["node"], lp["label"]))
+    loc_groups = loc.groupby("label")["node"].apply(list)
+    for _, members in loc_groups.items():
+        labels = {lp_map[h[m]] for m in members}
+        assert len(labels) == 1, f"labelprop split a local component: {members}"
+
+
+def test_hash_join_matches_pandas():
+    left = pd.DataFrame({"k": [f"k{i%7}" for i in range(50)], "a": range(50)})
+    right = pd.DataFrame({"k": [f"k{i}" for i in range(5)], "b": range(5)})
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "a"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "a"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]], want)
+
+
+def test_broadcast_join_matches_pandas():
+    left = pd.DataFrame({"k": [f"k{i%7}" for i in range(50)], "a": range(50)})
+    right = pd.DataFrame({"k": [f"k{i}" for i in range(5)], "b": range(5)})
+    got = (
+        broadcast_join(rd.from_pandas(left), right, on="k", how="left")
+        .to_pandas()
+        .sort_values(["k", "a"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="left")
+        .sort_values(["k", "a"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]], want)
