@@ -1,44 +1,220 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; nothing
+here (or in the library) initializes or shuts down Ray.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``    — flagship entity-resolution pipeline on a deterministic
+  interleaved-span corpus at smoke scale; returns the cluster table.
+- ``queries()``  — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data additions); each takes ``sf_dir``.
+- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query,
+  with matching output column names and roundings.  ER/minhash/simhash
+  pipelines are not SQL-expressible (stateful models, LSH, transitive
+  closure) and get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+
+# --- scale mapping for the synthesized ER corpus ---------------------------
+def _er_docs_for(sf_dir: str) -> int:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.001
+    return int(min(60_000, max(800, sf * 250_000)))
+
+
+def _er_corpus(sf_dir: str) -> str:
+    from entity_resolution_ray.fixtures.generator import fixture_dir_for
+
+    return fixture_dir_for(_er_docs_for(sf_dir))
+
+
+def _er_clusters(sf_dir: str):
+    import os
+
+    from entity_resolution_ray.pipelines.er import ERConfig, cluster_documents
+
+    fx = _er_corpus(sf_dir)
+    clustered, _ = cluster_documents(os.path.join(fx, "documents.parquet"), ERConfig())
+    return clustered.select_columns(["doc_id", "entity_name", "block_key", "cluster_id"])
+
+
+def _er_cluster_sizes(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    clustered = _er_clusters(sf_dir)
+    sizes = clustered.groupby("cluster_id").aggregate(Count(alias_name="n_docs"))
+    return sizes.groupby("n_docs").aggregate(Count(alias_name="n_clusters"))
+
+
+def _er_scored_pairs(sf_dir: str):
+    import os
+
+    from entity_resolution_ray.pipelines.er import (
+        ERConfig,
+        featured_documents,
+        read_documents,
+        scored_pairs,
+    )
+
+    fx = _er_corpus(sf_dir)
+    cfg = ERConfig()
+    featured = featured_documents(
+        read_documents(os.path.join(fx, "documents.parquet")), cfg
+    ).materialize()
+    return scored_pairs(featured, cfg).select_columns(
+        ["block_key", "src", "dst", "weight", "cosine", "jw", "score", "accepted"]
+    )
+
+
+def _dedup_minhash_clusters(sf_dir: str):
+    import ray.data as rd
+
+    from entity_resolution_ray.pipelines.relational import JACCARD_TH
+    from entity_resolution_ray.stages.dedup import (
+        jaccard_neardup_pairs,
+        neardup_clusters,
+    )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+    pairs = jaccard_neardup_pairs(
+        ds, threshold=JACCARD_TH, ngram=3, num_perm=256, num_bands=64
+    ).materialize()
+    if pairs.count() == 0:
+        import pandas as pd
+
+        return pd.DataFrame({"node": np.empty(0, np.int64),
+                             "label": np.empty(0, np.int64)})
+    return neardup_clusters(pairs)
+
+
+def _simhash_pairs(sf_dir: str):
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.dedup import simhash_neardup_pairs
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+    return simhash_neardup_pairs(ds, max_hamming=16)
+
+
+def _ann_lsh(sf_dir: str):
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.ann import lsh_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", override_num_blocks=16)
+    qdf = ds.to_pandas().sort_values("vec_id").head(8)
+    return lsh_topk(
+        ds, qdf["vec_id"].to_numpy(), np.stack(qdf["embedding"].to_list()), k=5
+    )
+
+
+def _multimodal_features(sf_dir: str):
+    """Media plumbing demo: spans corpus media refs → fake decode features."""
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.multimodal import (
+        attach_fake_payloads,
+        decode_media,
+    )
+    from entity_resolution_ray.stages.normalize import normalize
+
+    fx = _er_corpus(sf_dir)
+    docs = rd.read_parquet(
+        os.path.join(fx, "documents.parquet"), override_num_blocks=16
+    )
+    docs = normalize(docs)
+
+    def explode_refs(batch):
+        import pyarrow as pa
+
+        ids, refs = [], []
+        for doc, rlist in zip(
+            batch["doc_id"].to_pylist(), batch["media_refs"].to_pylist()
+        ):
+            for r in rlist:
+                ids.append(doc)
+                refs.append(r)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.string()),
+             "media_ref": pa.array(refs, pa.string())}
+        )
+
+    refs = docs.map_batches(explode_refs, batch_format="pyarrow")
+    with_payload = attach_fake_payloads(refs)
+    return decode_media(with_payload).select_columns(
+        ["doc_id", "media_ref", "media_features"]
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship ER pipeline at smoke scale (Ray already initialised)."""
+    return _er_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from entity_resolution_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / analytics operators (SQL-oracled)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "segment_revenue": R.q_segment_revenue,
+        "top_orders": R.q_top_orders,
+        "nation_customers": R.q_nation_customers,
+        "part_filter": R.q_part_filter,
+        "events_hourly": R.q_events_hourly,
+        "events_asof": R.q_events_asof,
+        # text analysis (SQL-oracled)
+        "doc_stats": R.q_doc_stats,
+        "lang_id": R.q_lang_id,
+        "exact_dedup": R.q_exact_dedup,
+        "token_topk": R.q_token_topk,
+        # similarity / dedup (SQL-oracled where exact)
+        "embedding_neardup": R.q_embedding_neardup,
+        "ann_topk": R.q_ann_topk,
+        "jaccard_neardup": R.q_jaccard_neardup,
+        # non-SQL-expressible pipelines (rows-only checks)
+        "er_clusters": _er_clusters,
+        "er_cluster_sizes": _er_cluster_sizes,
+        "er_scored_pairs": _er_scored_pairs,
+        "dedup_minhash_clusters": _dedup_minhash_clusters,
+        "simhash_pairs": _simhash_pairs,
+        "ann_lsh": _ann_lsh,
+        "multimodal_features": _multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from entity_resolution_ray.pipelines import relational as R
+
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "segment_revenue": R.Q_SEGMENT_REVENUE_SQL,
+        "top_orders": R.Q_TOP_ORDERS_SQL,
+        "nation_customers": R.Q_NATION_CUSTOMERS_SQL,
+        "part_filter": R.Q_PART_FILTER_SQL,
+        "events_hourly": R.Q_EVENTS_HOURLY_SQL,
+        "events_asof": R.Q_EVENTS_ASOF_SQL,
+        "doc_stats": R.Q_DOC_STATS_SQL,
+        "lang_id": R.Q_LANG_ID_SQL,
+        "exact_dedup": R.Q_EXACT_DEDUP_SQL,
+        "token_topk": R.Q_TOKEN_TOPK_SQL,
+        "embedding_neardup": R.Q_EMBEDDING_NEARDUP_SQL,
+        "ann_topk": R.Q_ANN_TOPK_SQL,
+        "jaccard_neardup": R.Q_JACCARD_NEARDUP_SQL,
+    }

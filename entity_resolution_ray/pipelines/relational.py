@@ -1,0 +1,470 @@
+"""Relational / analytics pipelines over the driver's TPC-H-ish testdata.
+
+Each query has a Ray-Data implementation and (where SQL-expressible) a DuckDB
+oracle kept literally next to it, with IDENTICAL output column names and the
+same explicit roundings, so the driver's row-count/schema/value-hash compare
+is meaningful.  Floating outputs are rounded at a precision where the exact
+decimal value is recoverable (sums of 2dp money → round 2/4) or where
+cross-engine summation-order noise (~1e-15 relative) cannot flip the digit.
+
+These exist to exercise the engine's relational operators (filter/project at
+the read, partial-then-final aggregation, partitioned hash joins, sort/top-k,
+as-of join, windowed event aggregation, token explode + count) — the
+reference's aggregate/join inventory (SURVEY.md §2.5-2.7) re-expressed on
+neutral tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from entity_resolution_ray.stages.joins import broadcast_join, hash_join
+from entity_resolution_ray.stages.textstats import (
+    EN_STOPWORDS,
+    XX_STOPWORDS,
+    oracle_token_expr,
+    text_stats,
+)
+
+
+def _read(sf_dir: str, table: str, columns=None, blocks: int = 16):
+    return rd.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=columns, override_num_blocks=blocks
+    )
+
+
+def _round_cols(ds, spec: dict[str, int]):
+    def fn(batch: pa.Table) -> pa.Table:
+        for col, nd in spec.items():
+            if col in batch.column_names:
+                i = batch.column_names.index(col)
+                batch = batch.set_column(
+                    i, col, pc.round(pc.cast(batch[col], pa.float64()), ndigits=nd)
+                )
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- 1. pricing summary (TPC-H Q1 shape: filter + grouped aggregates) ------
+def q1_pricing_summary(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less(batch["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01")))
+        )
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return batch.append_column("disc_price", disc_price)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    return _round_cols(
+        out,
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4,
+         "avg_qty": 6, "avg_disc": 6},
+    )
+
+
+Q1_SQL = """
+select l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                               as sum_qty,
+       round(sum(l_extendedprice), 2)                          as sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4)       as sum_disc_price,
+       round(avg(l_quantity), 6)                               as avg_qty,
+       round(avg(l_discount), 6)                               as avg_disc,
+       count(*)                                                as count_order
+from lineitem
+where l_shipdate < timestamp '1997-01-01'
+group by l_returnflag, l_linestatus
+"""
+
+
+# --- 2. revenue by market segment (3-way partitioned hash join) ------------
+def q_segment_revenue(sf_dir: str):
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table({"o_orderkey": batch["l_orderkey"], "revenue": rev})
+
+    li = li.map_batches(add_rev, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    j1 = hash_join(li, orders, on="o_orderkey")
+    j1 = j1.map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t["o_custkey"], "o_orderkey": t["o_orderkey"],
+             "revenue": t["revenue"]}
+        ),
+        batch_format="pyarrow",
+    )
+    # customer is the small side → broadcast map-join
+    j2 = broadcast_join(j1, cust.to_pandas(), on="c_custkey", how="inner")
+
+    per_order = j2.groupby(["c_mktsegment", "o_orderkey"]).aggregate(
+        Sum("revenue", alias_name="order_rev")
+    )
+    out = per_order.groupby("c_mktsegment").aggregate(
+        Sum("order_rev", alias_name="revenue"),
+        Count(alias_name="n_orders"),
+    )
+    return _round_cols(out, {"revenue": 4})
+
+
+Q_SEGMENT_REVENUE_SQL = """
+select c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) as revenue,
+       count(distinct o_orderkey)                        as n_orders
+from lineitem
+join orders   on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+group by c_mktsegment
+"""
+
+
+# --- 3. top-k orders (global sort + limit) ---------------------------------
+def q_top_orders(sf_dir: str, k: int = 10):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+Q_TOP_ORDERS_SQL = """
+select o_orderkey, o_custkey, o_totalprice
+from orders
+order by o_totalprice desc, o_orderkey asc
+limit 10
+"""
+
+
+# --- 4. per-nation customer stats (broadcast join + distinct agg) ----------
+def q_nation_customers(sf_dir: str):
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"])
+    nation = _read(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+    joined = broadcast_join(cust, nation, on="c_nationkey", how="inner")
+    per_seg = joined.groupby(["n_name", "c_mktsegment"]).aggregate(
+        Count(alias_name="seg_rows"),
+        Sum("c_acctbal", alias_name="seg_bal"),
+    )
+    out = per_seg.groupby("n_name").aggregate(
+        Count(alias_name="n_segments"),
+        Sum("seg_rows", alias_name="n_customers"),
+        Sum("seg_bal", alias_name="total_acctbal"),
+    )
+    return _round_cols(out, {"total_acctbal": 2})
+
+
+Q_NATION_CUSTOMERS_SQL = """
+select n_name,
+       count(distinct c_mktsegment) as n_segments,
+       count(*)                     as n_customers,
+       round(sum(c_acctbal), 2)     as total_acctbal
+from customer join nation on c_nationkey = n_nationkey
+group by n_name
+"""
+
+
+# --- 5. filter + project with read pruning ---------------------------------
+def q_part_filter(sf_dir: str):
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_size", "p_retailprice"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["p_size"], 10), pc.less_equal(t["p_size"], 20))
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q_PART_FILTER_SQL = """
+select p_partkey, p_name, p_size, p_retailprice
+from part where p_size between 10 and 20
+"""
+
+
+# --- 6. tumbling-window event aggregation ----------------------------------
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        return batch.append_column("window_start", hour)
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    out = ds.groupby(["window_start", "event_type"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return _round_cols(out, {"sum_value": 2, "max_value": 2})
+
+
+Q_EVENTS_HOURLY_SQL = """
+select date_trunc('hour', ts) as window_start, event_type,
+       count(*)               as n_events,
+       round(sum(value), 2)   as sum_value,
+       round(max(value), 2)   as max_value
+from events
+group by 1, 2
+"""
+
+
+# --- 7. as-of join: latest order at or before each event -------------------
+def q_events_asof(sf_dir: str):
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]).to_pandas()
+    # ties on (custkey, orderdate) make ASOF ambiguous: dedup keeping max key
+    orders = (
+        orders.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        .groupby(["o_custkey", "o_orderdate"], as_index=False)
+        .last()
+        .rename(columns={"o_custkey": "user_id"})
+    )
+    import ray
+
+    oref = ray.put(orders)
+
+    def asof(batch: pd.DataFrame) -> pd.DataFrame:
+        from entity_resolution_ray.stages.blocking import fetch_broadcast
+
+        right = fetch_broadcast(oref)
+        batch = batch.sort_values("ts")
+        merged = pd.merge_asof(
+            batch,
+            right.sort_values("o_orderdate"),
+            left_on="ts",
+            right_on="o_orderdate",
+            by="user_id",
+            direction="backward",
+        )
+        merged = merged.dropna(subset=["o_orderkey"])
+        merged["o_orderkey"] = merged["o_orderkey"].astype(np.int64)
+        return merged[["event_id", "user_id", "o_orderkey", "o_totalprice"]]
+
+    return ev.map_batches(asof, batch_format="pandas", batch_size=8192)
+
+
+Q_EVENTS_ASOF_SQL = """
+with orders_dedup as (
+  select * from (
+    select o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() over (partition by o_custkey, o_orderdate
+                              order by o_orderkey desc) as rn
+    from orders) where rn = 1
+)
+select e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+from events e
+asof join orders_dedup o
+  on e.user_id = o.o_custkey and e.ts >= o.o_orderdate
+"""
+
+
+# --- 8. text statistics ----------------------------------------------------
+def q_doc_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = text_stats(ds)
+    return out.select_columns(
+        ["doc_id", "token_count", "uniq_tokens", "char_count", "stop_ratio",
+         "avg_token_len"]
+    )
+
+
+Q_DOC_STATS_SQL = f"""
+with toks as (
+  select doc_id, {oracle_token_expr()} as t, length(text) as char_count
+  from documents
+)
+select doc_id,
+       len(t)                                   as token_count,
+       len(list_distinct(t))                    as uniq_tokens,
+       char_count,
+       round(len(list_filter(t, x -> list_contains({EN_STOPWORDS!r}, x)))
+             / len(t), 6)                       as stop_ratio,
+       round(list_sum(list_transform(t, x -> length(x))) / len(t), 6)
+                                                as avg_token_len
+from toks
+"""
+
+
+# --- 9. language id --------------------------------------------------------
+def q_lang_id(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return text_stats(ds).select_columns(["doc_id", "en_hits", "xx_hits", "lang_pred"])
+
+
+Q_LANG_ID_SQL = f"""
+with toks as (select doc_id, {oracle_token_expr()} as t from documents)
+select doc_id,
+       len(list_filter(t, x -> list_contains({EN_STOPWORDS!r}, x))) as en_hits,
+       len(list_filter(t, x -> list_contains({XX_STOPWORDS!r}, x))) as xx_hits,
+       case when len(list_filter(t, x -> list_contains({EN_STOPWORDS!r}, x)))
+                 >= len(list_filter(t, x -> list_contains({XX_STOPWORDS!r}, x)))
+             and len(list_filter(t, x -> list_contains({EN_STOPWORDS!r}, x))) > 0
+            then 'en'
+            when len(list_filter(t, x -> list_contains({XX_STOPWORDS!r}, x))) > 0
+            then 'xx' else 'und' end as lang_pred
+from toks
+"""
+
+
+# --- 10. exact dedup / fingerprinting --------------------------------------
+def q_exact_dedup(sf_dir: str):
+    from entity_resolution_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds)
+
+
+Q_EXACT_DEDUP_SQL = """
+select md5(text) as fp, min(doc_id) as doc_id_keep, count(*) as dup_count
+from documents group by md5(text)
+"""
+
+
+# --- 11. token frequency top-k (explode + count + sort) --------------------
+def q_token_topk(sf_dir: str, k: int = 20):
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.functions.text import tokenize_words
+
+        # partial aggregation inside the batch before the shuffle
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for tok in tokenize_words(text or ""):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {"token": pa.array(list(counts.keys()), pa.string()),
+             "cnt": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    partial = ds.map_batches(explode, batch_format="pyarrow")
+    total = partial.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+    return total.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+Q_TOKEN_TOPK_SQL = f"""
+select t as token, count(*)::bigint as cnt
+from (select unnest({oracle_token_expr()}) as t from documents)
+group by t order by cnt desc, token asc limit 20
+"""
+
+
+# --- 12. embedding near-dup pairs ------------------------------------------
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.45):
+    from entity_resolution_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings")
+    return embedding_neardup_pairs(ds, threshold=threshold)
+
+
+Q_EMBEDDING_NEARDUP_SQL = """
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings)
+select a.vec_id as src, b.vec_id as dst,
+       round(list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v))
+                * sqrt(list_inner_product(b.v, b.v))), 6) as cosine
+from e a join e b on a.vec_id < b.vec_id
+where list_inner_product(a.v, b.v)
+      / (sqrt(list_inner_product(a.v, a.v))
+         * sqrt(list_inner_product(b.v, b.v))) >= 0.45
+"""
+
+
+# --- 13. brute-force ANN top-k ---------------------------------------------
+ANN_NUM_QUERIES = 8
+ANN_K = 5
+
+
+def q_ann_topk(sf_dir: str):
+    from entity_resolution_ray.stages.ann import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings")
+    qdf = (
+        ds.to_pandas().sort_values("vec_id").head(ANN_NUM_QUERIES)
+    )
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_list())
+    return brute_force_topk(ds, qids, qmat, k=ANN_K)
+
+
+Q_ANN_TOPK_SQL = f"""
+with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+q as (select * from e order by vec_id limit {ANN_NUM_QUERIES}),
+scored as (
+  select q.vec_id as query_id, e.vec_id as neighbor_id,
+         round(list_inner_product(q.v, e.v)
+               / (sqrt(list_inner_product(q.v, q.v))
+                  * sqrt(list_inner_product(e.v, e.v))), 6) as cosine
+  from q join e on e.vec_id != q.vec_id
+)
+select query_id, neighbor_id, cosine from (
+  select *, row_number() over (partition by query_id
+                               order by cosine desc, neighbor_id asc) as rn
+  from scored) where rn <= {ANN_K}
+"""
+
+
+# --- 14. word-ngram jaccard near-dup pairs ---------------------------------
+JACCARD_TH = 0.18
+JACCARD_NGRAM = 3
+
+
+def q_jaccard_neardup(sf_dir: str):
+    from entity_resolution_ray.stages.dedup import jaccard_neardup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = jaccard_neardup_pairs(
+        ds, threshold=JACCARD_TH, ngram=JACCARD_NGRAM, num_perm=256, num_bands=64
+    )
+    return out.select_columns(["src", "dst", "jaccard"])
+
+
+Q_JACCARD_NEARDUP_SQL = f"""
+with toks as (select doc_id, {oracle_token_expr()} as t from documents),
+sh as (
+  select doc_id, distinct_sh from (
+    select doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] as distinct_sh
+    from toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) as g(i)
+    union
+    select doc_id, array_to_string(t, ' ') from toks where len(t) < 3 and len(t) > 0
+  ) group by doc_id, distinct_sh
+),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select a.doc_id as src, b.doc_id as dst, count(*) as i
+  from sh a join sh b on a.distinct_sh = b.distinct_sh and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select src, dst,
+       round(i / (sa.n + sb.n - i), 6) as jaccard
+from inter
+join sizes sa on sa.doc_id = src
+join sizes sb on sb.doc_id = dst
+where i / (sa.n + sb.n - i) >= {JACCARD_TH}
+"""
