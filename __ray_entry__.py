@@ -26,7 +26,7 @@ import numpy as np
 def _er_docs_for(sf_dir: str) -> int:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.001
-    return int(min(60_000, max(800, sf * 250_000)))
+    return int(min(200_000, max(800, sf * 2_000_000)))
 
 
 def _er_corpus(sf_dir: str) -> str:
@@ -48,8 +48,12 @@ def _er_clusters(sf_dir: str):
 def _er_cluster_sizes(sf_dir: str):
     from ray.data.aggregate import Count
 
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+
     clustered = _er_clusters(sf_dir)
-    sizes = clustered.groupby("cluster_id").aggregate(Count(alias_name="n_docs"))
+    sizes = grouped_aggregate(
+        clustered, "cluster_id", {"n_docs": ("doc_id", "size")}
+    )
     return sizes.groupby("n_docs").aggregate(Count(alias_name="n_clusters"))
 
 

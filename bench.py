@@ -1,0 +1,140 @@
+"""Benchmark harness.
+
+Headline: the flagship ER pipeline (blocking → pair scoring → distributed CC)
+on the deterministic interleaved-span corpus scaled to $GRAFT_SF_DIR, plus a
+set of secondary operator pipelines on the testdata tables.  Prints ONE JSON
+line:
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "pairs_scored": P, "pairs_per_sec": R}
+
+``--scaling``: runs the headline pipeline in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs and
+the scaling efficiency (T_8/T_32)/4 — the sandbox stand-in for N vs 4N nodes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from entity_resolution_ray.pipelines.er import ERConfig, cluster_documents
+
+    # corpus generation is input prep, not engine time: do it before the clock
+    fx = entrymod._er_corpus(sf_dir)
+    docs_path = os.path.join(fx, "documents.parquet")
+    # warm the page cache so we measure compute+shuffle, not first-touch disk
+    with open(docs_path, "rb") as f:
+        f.read()
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    clustered, edges = cluster_documents(docs_path, ERConfig())
+    n_docs = clustered.count()
+    n_pairs = edges.count()
+    headline = time.time() - t0
+    queries["er_flagship"] = round(headline, 3)
+
+    secondary = [
+        ("q1_pricing_summary", None),
+        ("segment_revenue", None),
+        ("events_hourly", None),
+        ("doc_stats", None),
+        ("jaccard_neardup", None),
+        ("ann_topk", None),
+    ]
+    qmap = entrymod.queries()
+    for name, _ in secondary:
+        t0 = time.time()
+        res = qmap[name](sf_dir)
+        # consume the stream
+        if hasattr(res, "count"):
+            res.count()
+        queries[name] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "er_flagship_wall_sec (candidate-pair scoring + clustering, "
+        f"{n_docs} docs)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_from_dir(sf_dir),
+        "num_cpus": num_cpus,
+        "n_docs": int(n_docs),
+        "pairs_scored": int(n_pairs),
+        "pairs_per_sec": round(n_pairs / headline, 1),
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for n in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            env.pop("RAY_ADDRESS", None)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            results[n] = json.loads(out.strip().splitlines()[-1])
+        t8, t32 = results[8]["value"], results[32]["value"]
+        eff = (t8 / t32) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "sec_8": t8,
+                    "sec_32": t32,
+                    "pairs_per_sec_8": results[8]["pairs_per_sec"],
+                    "pairs_per_sec_32": results[32]["pairs_per_sec"],
+                    "scaling_efficiency": round(eff, 3),
+                    "sf": results[32]["sf"],
+                }
+            )
+        )
+        return
+
+    result = run_bench(sf_dir, num_cpus)
+    print(json.dumps(result))
+
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -56,6 +56,27 @@ LAST_NAMES = [
     "ramirez", "lewis", "robinson", "walker", "young", "allen", "king",
     "wright", "scott", "torres", "nguyen", "hill", "flores",
 ]
+# synthetic surnames extend the pool so large corpora don't exhaust the name
+# universe (~10k distinct names supports ~65k mentions at set-A skew)
+_LAST_ROOTS = [
+    "ander", "bergs", "carls", "dani", "eriks", "fergu", "gustav", "hender",
+    "ivers", "jacob", "karls", "lars", "mathe", "nils", "olofs", "peders",
+    "quist", "rasmus", "svens", "thors", "ulrik", "vikt", "wilhelm", "yng",
+    "aalto", "bjork", "cedar", "dovre", "elvst", "fjell", "grieg", "halvor",
+    "inge", "jens", "kettil", "lofot", "marst", "norda", "oster", "pilk",
+]
+_LAST_SUFFIXES = [
+    "son", "sen", "berg", "strom", "dahl", "lund", "vik", "gaard",
+    "holm", "qvist", "bakke", "haug", "stad", "feldt", "mark", "ness",
+]
+LAST_NAMES = LAST_NAMES + [r + s for r in _LAST_ROOTS for s in _LAST_SUFFIXES]
+FIRST_EXT = [
+    "oliver", "amelia", "lucas", "sofia", "henrik", "ingrid", "viktor",
+    "freya", "magnus", "astrid",
+]
+FIRST_NAMES = FIRST_NAMES + FIRST_EXT
+
+GENERATOR_VERSION = 3  # bump to invalidate cached fixture dirs on code change
 ORG_ADJECTIVES = [
     "Acme", "Borealis", "Cascade", "Dynamo", "Evergreen", "Fairview",
     "Granite", "Horizon", "Ironwood", "Juniper", "Keystone", "Lakeside",
@@ -140,7 +161,10 @@ def generate(out_dir: str, cfg: GeneratorConfig | None = None) -> dict:
     cfg = cfg or GeneratorConfig()
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
-    cfg_key = json.dumps(cfg.__dict__, sort_keys=True, default=list)
+    cfg_key = (
+        json.dumps(cfg.__dict__, sort_keys=True, default=list)
+        + f"|v{GENERATOR_VERSION}"
+    )
     if os.path.exists(manifest_path):
         with open(manifest_path) as f:
             old = json.load(f)
@@ -307,7 +331,11 @@ def generate(out_dir: str, cfg: GeneratorConfig | None = None) -> dict:
                 lp["is_match"].append(members[i][1] == members[j][1])
     lp_table = pa.table({k: pa.array(v) for k, v in lp.items()}, schema=S.LABELED_PAIRS_SCHEMA)
 
-    pq.write_table(docs_table, os.path.join(out_dir, "documents.parquet"))
+    # small row groups so a single fixture file still reads in parallel
+    pq.write_table(
+        docs_table, os.path.join(out_dir, "documents.parquet"),
+        row_group_size=8192,
+    )
     pq.write_table(gt_table, os.path.join(out_dir, "ground_truth.parquet"))
     pq.write_table(lp_table, os.path.join(out_dir, "labeled_pairs.parquet"))
 

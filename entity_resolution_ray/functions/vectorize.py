@@ -134,24 +134,42 @@ def sparse_cosine_pairs(
 
 MEDIA_EMBED_DIM = 32
 
+_BASE_DIR_CACHE: dict[str, np.ndarray] = {}
+
+
+def _hash_floats(key: bytes, dim: int) -> np.ndarray:
+    """dim floats in [-0.5, 0.5) from iterated blake2b — cheap & deterministic
+    (no per-call RNG construction; profiled hot in the vectorize stage)."""
+    out = np.empty(0, dtype=np.uint8)
+    counter = 0
+    chunks = []
+    need = dim * 4
+    while need > 0:
+        d = hashlib.blake2b(key + counter.to_bytes(2, "little"), digest_size=64)
+        chunks.append(np.frombuffer(d.digest(), dtype=np.uint8))
+        need -= 64
+        counter += 1
+    raw = np.concatenate(chunks)[: dim * 4]
+    u32 = raw.view(np.uint32).astype(np.float64)
+    return u32 / 4294967296.0 - 0.5
+
 
 def media_embedding(media_ref: str, dim: int = MEDIA_EMBED_DIM) -> np.ndarray:
     """Deterministic unit-norm embedding of a media reference.
 
     The persona-carrying prefix (everything up to the last '/') seeds the base
-    direction; the full ref adds small per-item noise.  This is the sandbox
-    stand-in for a real image/audio encoder (which would be an actor-pool
-    ``map_batches`` stage; see stages/multimodal.py).
+    direction (cached — prefixes repeat across items); the full ref adds small
+    per-item noise.  This is the sandbox stand-in for a real image/audio
+    encoder (which would be an actor-pool ``map_batches`` stage; see
+    stages/multimodal.py).
     """
     prefix = media_ref.rsplit("/", 1)[0]
-    base_seed = int.from_bytes(
-        hashlib.blake2b(prefix.encode(), digest_size=8).digest(), "little"
-    )
-    item_seed = int.from_bytes(
-        hashlib.blake2b(media_ref.encode(), digest_size=8).digest(), "little"
-    )
-    base = np.random.default_rng(base_seed).standard_normal(dim)
-    noise = np.random.default_rng(item_seed).standard_normal(dim) * 0.05
+    base = _BASE_DIR_CACHE.get(prefix)
+    if base is None:
+        base = _hash_floats(prefix.encode(), dim)
+        if len(_BASE_DIR_CACHE) < 1_000_000:
+            _BASE_DIR_CACHE[prefix] = base
+    noise = _hash_floats(media_ref.encode(), dim) * 0.05
     v = base + noise
     return (v / np.linalg.norm(v)).astype(np.float32)
 

@@ -21,10 +21,9 @@ import ray.data as rd
 from entity_resolution_ray import schema as S
 from entity_resolution_ray.stages.blocking import block_candidate_pairs
 from entity_resolution_ray.stages.clustering import assign_clusters
-from entity_resolution_ray.stages.features import extract_features
 from entity_resolution_ray.stages.normalize import normalize
 from entity_resolution_ray.stages.scoring import ScoreConfig, score_pairs
-from entity_resolution_ray.stages.vectorize import add_tf_columns, broadcast_idf, fit_idf
+from entity_resolution_ray.stages.vectorize import broadcast_idf
 
 
 @dataclass
@@ -35,19 +34,65 @@ class ERConfig:
     tf_dim: int = 1 << 18
     cc_mode: str = "labelprop"  # or "local"
     use_idf: bool = True
-    concurrency: tuple = (1, 8)
+    concurrency: tuple | None = None  # None → (1, cluster CPUs)
+    # actor pools pay ~5s startup per stage per run; for the cheap built-in
+    # kernels (regex tagger, hashing vectorizer, JW scorer) a stateless task
+    # with a per-worker-process cache gives identical semantics without the
+    # ramp.  Set True when stages hold genuinely expensive state (real NER /
+    # embedding models) so setup amortizes across batches per actor.
+    use_actor_pools: bool = False
     # single-file fixtures read as one block; spread them so the feature
     # stages parallelize (real 100TB inputs arrive pre-sharded)
-    min_read_partitions: int = 16
+    min_read_partitions: int = 64
 
 
-def read_documents(path: str, min_partitions: int = 16):
+def read_documents(path: str, min_partitions: int = 64):
     """documents table (doc_id, spans) from parquet (lance-shaped).
 
     ``override_num_blocks`` spreads single-file fixtures across workers; real
     100TB inputs arrive pre-sharded and use the natural file partitioning.
     """
     return rd.read_parquet(path, override_num_blocks=min_partitions)
+
+
+# fused tag+vectorize kernel, usable as an actor class or via the
+# per-worker-process singleton cache below
+class TagAndVectorize:
+    def __init__(self, dim: int):
+        from entity_resolution_ray.stages.features import FeatureTagger
+        from entity_resolution_ray.stages.vectorize import TfVectorizer
+
+        self.tag = FeatureTagger()
+        self.vec = TfVectorizer(dim)
+
+    def __call__(self, batch):
+        return self.vec(self.tag(batch))
+
+
+_SINGLETONS: dict = {}
+
+
+def _worker_singleton(cls, **kwargs):
+    """Construct-once-per-worker-process stage state (the stateless-task
+    equivalent of actor ``__init__``)."""
+    key = (cls.__qualname__, tuple(sorted(kwargs.items())))
+    inst = _SINGLETONS.get(key)
+    if inst is None:
+        inst = cls(**kwargs)
+        _SINGLETONS[key] = inst
+    return inst
+
+
+def _pool_size(cfg: "ERConfig") -> tuple:
+    if cfg.concurrency is not None:
+        return cfg.concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    # start half the pool immediately (a slow autoscaling ramp wastes most of
+    # a short stage) but leave CPUs free for the feeding read/shuffle tasks —
+    # a pool whose minimum holds every CPU deadlocks its own input
+    return (max(1, cpus // 2), max(2, cpus))
 
 
 def featured_documents(docs_ds, cfg: ERConfig | None = None):
@@ -58,28 +103,60 @@ def featured_documents(docs_ds, cfg: ERConfig | None = None):
     except NotImplementedError:
         pass  # lazy dataset: reads already set override_num_blocks
     ds = normalize(docs_ds)
-    ds = extract_features(ds, concurrency=cfg.concurrency)
-    ds = add_tf_columns(ds, dim=cfg.tf_dim, concurrency=cfg.concurrency)
-    return ds
+    if cfg.use_actor_pools:
+        return ds.map_batches(
+            TagAndVectorize,
+            fn_constructor_kwargs={"dim": cfg.tf_dim},
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=_pool_size(cfg),
+        )
+    dim = cfg.tf_dim
+
+    def tag_vectorize(batch):
+        return _worker_singleton(TagAndVectorize, dim=dim)(batch)
+
+    return ds.map_batches(tag_vectorize, batch_format="pyarrow", batch_size=1024)
 
 
 def scored_pairs(featured_ds, cfg: ERConfig | None = None):
     """featured docs → scored candidate-pair (edge) table."""
     cfg = cfg or ERConfig()
-    idf_ref = None
-    if cfg.use_idf:
-        # second pass over the (checkpointable) featured table; the partials
-        # are fixed-size vectors, not data-sized driver state
-        idf = fit_idf(featured_ds, dim=cfg.tf_dim)
-        idf_ref = broadcast_idf(idf)
+    # one pass over the (checkpointable) featured table yields BOTH the IDF
+    # document-frequency vector and the hot-block census — the partials are
+    # fixed-size / #distinct-keys-sized, not data-sized driver state
+    from entity_resolution_ray.stages.vectorize import fit_idf_and_census
+
+    idf, block_sizes = fit_idf_and_census(featured_ds, dim=cfg.tf_dim)
+    idf_ref = broadcast_idf(idf) if cfg.use_idf else None
     pairs = block_candidate_pairs(
         featured_ds,
         idf_ref=idf_ref,
+        block_sizes=block_sizes,
         all_pairs_cap=cfg.all_pairs_cap,
         posting_cap=cfg.posting_cap,
         tf_dim=cfg.tf_dim,
     )
-    return score_pairs(pairs, config=cfg.score, concurrency=cfg.concurrency)
+    # materialize the candidate-pair table before scoring: it is the natural
+    # checkpoint, and a streaming sort-shuffle → autoscaling actor pool chain
+    # ramps the pool too slowly (measured 3× slower at 400k pairs)
+    pairs = pairs.materialize()
+    if cfg.use_actor_pools:
+        return score_pairs(pairs, config=cfg.score, concurrency=_pool_size(cfg))
+
+    from entity_resolution_ray.stages.scoring import PairScorer
+
+    score_cfg = cfg.score
+    key = ("PairScorer", repr(score_cfg))
+
+    def score_fn(batch):
+        inst = _SINGLETONS.get(key)
+        if inst is None:
+            inst = PairScorer(score_cfg)
+            _SINGLETONS[key] = inst
+        return inst(batch)
+
+    return pairs.map_batches(score_fn, batch_format="pandas", batch_size=16384)
 
 
 def cluster_documents(docs_path: str, cfg: ERConfig | None = None):
@@ -88,20 +165,34 @@ def cluster_documents(docs_path: str, cfg: ERConfig | None = None):
     Returns (clusters_ds, scored_edges_ds); clusters_ds preserves the spans
     column untouched (per-row span-sequence invariant).
     """
+    import os
+    import time
+
+    profile = os.environ.get("ER_PROFILE")
+    t0 = time.time()
+
+    def _mark(stage):
+        nonlocal t0
+        if profile:
+            print(f"[er {stage}] {time.time() - t0:.1f}s", flush=True)
+        t0 = time.time()
+
     cfg = cfg or ERConfig()
     docs = read_documents(docs_path)
     featured = featured_documents(docs, cfg)
     # featured is consumed by three downstream passes (idf fit, pair-gen,
     # cluster attach) — materialize once instead of recomputing the tagger
     featured = featured.materialize()
+    _mark("featured")
     edges_all = scored_pairs(featured, cfg).materialize()
+    _mark("scored_pairs")
     accepted = edges_all.map_batches(
-        lambda t: t.filter(t["accepted"]), batch_format="pyarrow"
-    )
+        lambda t: t.select([S.BLOCK_KEY, "src", "dst"]).filter(t["accepted"]),
+        batch_format="pyarrow",
+    ).materialize()
+    _mark("accepted")
     keep_cols = [S.DOC_ID, S.SPANS, S.ENTITY_NAME, S.BLOCK_KEY, S.CONTENT]
     docs_slim = featured.select_columns(keep_cols)
-    clustered = assign_clusters(
-        docs_slim, accepted.select_columns([S.BLOCK_KEY, "src", "dst"]),
-        mode=cfg.cc_mode,
-    )
+    clustered = assign_clusters(docs_slim, accepted, mode=cfg.cc_mode)
+    _mark("assign")
     return clustered, edges_all

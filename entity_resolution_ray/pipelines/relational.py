@@ -127,8 +127,11 @@ def q_segment_revenue(sf_dir: str):
     # customer is the small side → broadcast map-join
     j2 = broadcast_join(j1, cust.to_pandas(), on="c_custkey", how="inner")
 
-    per_order = j2.groupby(["c_mktsegment", "o_orderkey"]).aggregate(
-        Sum("revenue", alias_name="order_rev")
+    # per-order rollup is data-proportional cardinality → bucketized pandas
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+
+    per_order = grouped_aggregate(
+        j2, ["c_mktsegment", "o_orderkey"], {"order_rev": ("revenue", "sum")}
     )
     out = per_order.groupby("c_mktsegment").aggregate(
         Sum("order_rev", alias_name="revenue"),

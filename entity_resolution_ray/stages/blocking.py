@@ -37,6 +37,13 @@ import pyarrow as pa
 import ray
 
 from entity_resolution_ray import schema as S
+from entity_resolution_ray.utils.hashing import hash64_array
+
+
+def hash64_np(ids) -> np.ndarray:
+    """uint64 stable hashes for an array-like of string ids."""
+    return hash64_array(list(ids))
+
 
 # ---------------------------------------------------------------------------
 # broadcast cache (ray.put object fetched once per worker process)
@@ -59,7 +66,7 @@ PAIR_PAYLOAD_COLS = [
     "gpe",
     "loc",
     "dob_years",
-    "media_refs",
+    "media_vec",
     "tf_idx",
     "tf_cnt",
 ]
@@ -132,12 +139,13 @@ class BlockPairGenerator:
 
     def __init__(self, idf_ref=None, all_pairs_cap: int = 1200,
                  posting_cap: int = 500, tf_dim: int = 1 << 18,
-                 inverse_degree: bool = False):
+                 inverse_degree: bool = False, dob_distance: int = 5):
         self.idf_ref = idf_ref
         self.all_pairs_cap = all_pairs_cap
         self.posting_cap = posting_cap
         self.tf_dim = tf_dim
         self.inverse_degree = inverse_degree
+        self.dob_distance = dob_distance
         self._idf = None
 
     def _get_idf(self):
@@ -150,8 +158,8 @@ class BlockPairGenerator:
         n = len(group)
         empty = {
             S.BLOCK_KEY: [], "src": [], "dst": [], "weight": [],
-            "cosine": [], "src_name": [], "dst_name": [],
-            "src_media": [], "dst_media": [], "src_dob": [], "dst_dob": [],
+            "cosine": [], "media_cos": [], "neg_dob": [],
+            "src_name": [], "dst_name": [],
         }
         if n < 2:
             return pd.DataFrame(empty)
@@ -161,7 +169,12 @@ class BlockPairGenerator:
             postings.extend(_block_postings(list(group[col]), self.posting_cap))
         fi, fj, fw = _posting_pairs(n, postings, self.inverse_degree)
 
-        if n <= self.all_pairs_cap:
+        # salted shard/stitch groups of a hot block skip the dense all-pairs
+        # base — a hot block's N² is exactly what the salting defuses
+        is_salted = (
+            "salt_key" in group.columns and "#" in str(group["salt_key"].iloc[0])
+        )
+        if n <= self.all_pairs_cap and not is_salted:
             ai, aj = np.triu_indices(n, 1)
             base = np.zeros(len(ai), dtype=np.float64)
             codes_f = fi * n + fj
@@ -200,10 +213,37 @@ class BlockPairGenerator:
             X[r, cols] = vals
         cos = _pairwise_cosine(X, i_idx, j_idx)
 
+        # media cosine: per-doc mean-embedding matrix, vectorized row dots
+        # (empty media → zero row → cosine 0, flagged by has_media)
+        from entity_resolution_ray.functions.vectorize import MEDIA_EMBED_DIM
+
+        M = np.zeros((n, MEDIA_EMBED_DIM), dtype=np.float64)
+        has_media = np.zeros(n, dtype=bool)
+        for r, mv in enumerate(group["media_vec"]):
+            if mv is not None and len(mv) == MEDIA_EMBED_DIM:
+                M[r] = mv
+                has_media[r] = True
+        media_cos = np.einsum("ij,ij->i", M[i_idx], M[j_idx])
+        media_cos[~(has_media[i_idx] & has_media[j_idx])] = 0.0
+
+        # DOB negative evidence (reference numeric-distance rule), vectorized
+        dob_min = np.full(n, np.nan)
+        dob_max = np.full(n, np.nan)
+        for r, years in enumerate(group["dob_years"]):
+            if years is not None and len(years):
+                dob_min[r] = min(years)
+                dob_max[r] = max(years)
+        a_min, a_max = dob_min[i_idx], dob_max[i_idx]
+        b_min, b_max = dob_min[j_idx], dob_max[j_idx]
+        swapped = b_min < a_min
+        lo_max = np.where(swapped, b_max, a_max)
+        hi_min = np.where(swapped, a_min, b_min)
+        with np.errstate(invalid="ignore"):
+            neg = (hi_min - lo_max) > self.dob_distance
+        neg &= ~np.isnan(a_min) & ~np.isnan(b_min)
+
         ids = group[S.DOC_ID].to_numpy()
         names = group[S.ENTITY_NAME].to_numpy()
-        media = list(group["media_refs"])
-        dob = list(group["dob_years"])
         return pd.DataFrame(
             {
                 S.BLOCK_KEY: np.repeat(group[S.BLOCK_KEY].iloc[0], len(i_idx)),
@@ -211,26 +251,166 @@ class BlockPairGenerator:
                 "dst": ids[j_idx],
                 "weight": w,
                 "cosine": cos,
+                "media_cos": media_cos,
+                "neg_dob": neg,
                 "src_name": names[i_idx],
                 "dst_name": names[j_idx],
-                "src_media": [media[k] for k in i_idx],
-                "dst_media": [media[k] for k in j_idx],
-                "src_dob": [dob[k] for k in i_idx],
-                "dst_dob": [dob[k] for k in j_idx],
             }
         )
 
 
-def block_candidate_pairs(featured_ds, idf_ref=None, **gen_kwargs):
-    """groupby(block_key) → per-block candidate pairs with cosine + weights."""
+def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
+                          shard_size: int = 800, stitch_reps: int = 96,
+                          block_sizes=None, **gen_kwargs):
+    """groupby(block_key) → per-block candidate pairs with cosine + weights.
+
+    Hot-block salting (north rule): a block-size census finds blocks larger
+    than ``salt_threshold``; their rows get a salted key ``key#shard`` with
+    ``shard = hash(doc_id) % ceil(n/shard_size)``, so the O(n²)-ish pair work
+    of a hot block spreads over many groupby tasks instead of one straggler.
+    Cross-shard connectivity is restored by a deterministic *stitch* group per
+    hot block: each doc whose hash selects it (≈``stitch_reps`` per shard)
+    also lands in ``key#stitch``; stitch pairs are scored like any others, so
+    same-entity subclusters in different shards join through their reps.
+    Pair weights are per-pair properties (shared-value counts), so shard-local
+    computation equals whole-block computation for intra-shard pairs; pairs
+    seen twice (shard + stitch) are deduped keeping the max weight.
+    """
     gen = BlockPairGenerator(idf_ref=idf_ref, **gen_kwargs)
 
-    def generate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return gen(group)
+    def generate_pairs(bucket_group: pd.DataFrame) -> pd.DataFrame:
+        # one ray-level group per hash BUCKET of block keys; the per-block
+        # loop runs in pandas inside (a ray group per block pays a
+        # per-group block-format conversion — measured dominant at ~30k
+        # blocks)
+        outs = []
+        for _, g in bucket_group.groupby("salt_key", sort=False):
+            p = gen(g)
+            if len(p):
+                outs.append(p)
+        if not outs:
+            return gen(bucket_group.iloc[:0])
+        return pd.concat(outs, ignore_index=True)
 
     narrow = featured_ds.select_columns(PAIR_PAYLOAD_COLS)
-    return narrow.groupby(S.BLOCK_KEY).map_groups(
-        generate_pairs, batch_format="pandas"
+
+    # hot-key census without a shuffle: per-batch value counts, summed on the
+    # driver (partials are #distinct-keys-sized, not data-sized).  Callers
+    # that already ran a census pass (fit_idf_and_census) hand it in.
+    if block_sizes is not None:
+        sizes = block_sizes
+    else:
+        def census_partial(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            vc = pc.value_counts(batch[S.BLOCK_KEY])
+            return pa.table(
+                {"key": vc.field("values"), "n": vc.field("counts")}
+            )
+
+        parts = (
+            narrow.select_columns([S.BLOCK_KEY])
+            .map_batches(census_partial, batch_format="pyarrow")
+            .to_pandas()
+        )
+        sizes = parts.groupby("key", sort=False)["n"].sum()
+    hot = {
+        k: int(np.ceil(n / shard_size))
+        for k, n in sizes.items()
+        if n > salt_threshold
+    }
+
+    num_buckets = 64
+
+    def _key_buckets(keys: list[str]) -> np.ndarray:
+        h = pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy()
+        return (h % np.uint64(num_buckets)).astype(np.int64)
+
+    # salt/bucket columns are appended ARROW-side: the heavy list columns
+    # (tf_idx/tf_cnt/media_vec) stay zero-copy arrow through the shuffle —
+    # a pandas pass here turns them into python-object cells and triples the
+    # sort's serialization cost (measured)
+    if not hot:
+
+        def with_key(batch: pa.Table) -> pa.Table:
+            keys = batch[S.BLOCK_KEY].to_pylist()
+            return batch.append_column(
+                "salt_key", batch[S.BLOCK_KEY]
+            ).append_column("__bucket", pa.array(_key_buckets(keys)))
+
+        return (
+            narrow.map_batches(with_key, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(generate_pairs, batch_format="pandas")
+        )
+
+    import ray
+
+    hot_ref = ray.put(hot)
+    rep_modulus = max(1, shard_size // stitch_reps)
+
+    def salt(batch: pa.Table) -> pa.Table:
+        hot_map = fetch_broadcast(hot_ref)
+        keys = batch[S.BLOCK_KEY].to_pylist()
+        ids = batch[S.DOC_ID].to_pylist()
+        h = hash64_np(ids)
+        # NB: keep all modular arithmetic in uint64 — numpy silently promotes
+        # uint64 ∘ python-int to float64, which garbles large hashes
+        shard_of = (h % np.uint64(1 << 20)).astype(np.int64)  # pre-reduce
+        is_rep = ((h >> np.uint64(8)) % np.uint64(rep_modulus)) == 0
+        salted: list[str] = []
+        rep_idx: list[int] = []
+        stitch_keys: list[str] = []
+        for i, k in enumerate(keys):
+            s = hot_map.get(k)
+            if s is None:
+                salted.append(k)
+                continue
+            salted.append(f"{k}#{shard_of[i] % s}")
+            if is_rep[i]:
+                rep_idx.append(i)
+                stitch_keys.append(f"{k}#stitch")
+        out = batch.append_column("salt_key", pa.array(salted, pa.string()))
+        out = out.append_column("__bucket", pa.array(_key_buckets(salted)))
+        if rep_idx:
+            stitch = batch.take(pa.array(rep_idx, pa.int64()))
+            stitch = stitch.append_column(
+                "salt_key", pa.array(stitch_keys, pa.string())
+            ).append_column("__bucket", pa.array(_key_buckets(stitch_keys)))
+            out = pa.concat_tables([out, stitch])
+        return out
+
+    pairs = (
+        narrow.map_batches(salt, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(generate_pairs, batch_format="pandas")
+        .materialize()
+    )
+
+    # only hot-block pairs can repeat (shard + stitch overlap): dedup that
+    # slice alone, pass the clean majority through untouched
+    hot_keys = set(hot)
+
+    def split(batch: pd.DataFrame, want_hot: bool) -> pd.DataFrame:
+        mask = batch[S.BLOCK_KEY].isin(hot_keys)
+        return batch[mask] if want_hot else batch[~mask]
+
+    cold = pairs.map_batches(
+        lambda b: split(b, False), batch_format="pandas"
+    )
+    hot_pairs = pairs.map_batches(
+        lambda b: split(b, True), batch_format="pandas"
+    )
+    bucketed = hot_pairs.map_batches(
+        lambda b: _add_bucket(b, ["src", "dst"], 64), batch_format="pandas"
+    )
+
+    def dedup_max_weight(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["src", "dst", "weight"], ascending=[True, True, False])
+        return g.drop_duplicates(["src", "dst"]).drop(columns=["__bucket"])
+
+    return cold.union(
+        bucketed.groupby("__bucket").map_groups(dedup_max_weight, batch_format="pandas")
     )
 
 
@@ -268,14 +448,60 @@ def pairs_for_key_group(group: pd.DataFrame, cap: int = 500,
     return pd.DataFrame({"src": src, "dst": dst})
 
 
+def _add_bucket(batch: pd.DataFrame, on: list[str], num_buckets: int) -> pd.DataFrame:
+    h = pd.util.hash_pandas_object(batch[on[0]], index=False).to_numpy()
+    for c in on[1:]:
+        h = h * np.uint64(31) + pd.util.hash_pandas_object(
+            batch[c], index=False
+        ).to_numpy()
+    batch = batch.copy()
+    batch["__bucket"] = (h % np.uint64(num_buckets)).astype(np.int64)
+    return batch
+
+
+def grouped_pairs(rows_ds, key_cols, id_col: str = "doc_id", cap: int = 500,
+                  num_buckets: int = 64):
+    """(key, id) rows → per-key pairs, shuffled ONCE by key-hash bucket.
+
+    One ``groupby(bucket)`` instead of one ray-level group per key: inside
+    each bucket a pandas groupby walks its keys with vectorized triu pair
+    emission — same result, two orders of magnitude fewer task dispatches.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    bucketed = rows_ds.map_batches(
+        lambda b: _add_bucket(b, key_cols, num_buckets), batch_format="pandas"
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in group.groupby(key_cols, sort=False):
+            p = pairs_for_key_group(g, cap=cap, id_col=id_col)
+            if len(p):
+                outs.append(p)
+        if not outs:
+            return pd.DataFrame({"src": [], "dst": []})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def dedup_pairs(pairs_ds, extra_cols=(), num_buckets: int = 64):
+    """Drop duplicate (src,dst) rows with one bucket shuffle + vectorized
+    in-bucket drop_duplicates."""
+    bucketed = pairs_ds.map_batches(
+        lambda b: _add_bucket(b, ["src", "dst"], num_buckets),
+        batch_format="pandas",
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = ["src", "dst", *extra_cols]
+        return group.drop_duplicates(["src", "dst"])[cols]
+
+    return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
 def candidate_pairs_from_keys(exploded_ds, key_cols, cap: int = 500,
                               id_col: str = "doc_id"):
     """(key, doc_id) rows → deduped candidate pair table (src < dst)."""
-    pairs = exploded_ds.groupby(key_cols).map_groups(
-        lambda g: pairs_for_key_group(g, cap=cap, id_col=id_col),
-        batch_format="pandas",
-    )
-    # dedup pairs that co-occur under several keys
-    return pairs.groupby(["src", "dst"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    pairs = grouped_pairs(exploded_ds, key_cols, id_col=id_col, cap=cap)
+    return dedup_pairs(pairs)

@@ -127,7 +127,37 @@ def _rep_chain_edges(group: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"u": np.empty(0, np.int64), "v": np.empty(0, np.int64)}
         )
-    return pd.DataFrame({"u": reps[:-1], "v": reps[1:]})
+    # star from the min rep: diameter 2 regardless of how many buckets the
+    # node's component touched
+    return pd.DataFrame({"u": np.full(len(reps) - 1, reps[0]), "v": reps[1:]})
+
+
+def _rep_star_edges(node_reps_ds, num_buckets: int):
+    """Star edges between the multiple reps of any node — vectorized: one
+    bucket shuffle by node hash, then a pandas transform per bucket (a ray
+    group per NODE would be data-proportional task dispatch)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bucket",
+            pa.array((node % num_buckets + num_buckets) % num_buckets),
+        )
+
+    bucketed = node_reps_ds.map_batches(add_bucket, batch_format="pyarrow")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.drop_duplicates(["node", "rep"])
+        first = df.groupby("node")["rep"].transform("min")
+        mask = (df["rep"] != first).to_numpy()
+        return pd.DataFrame(
+            {
+                "u": first.to_numpy()[mask].astype(np.int64),
+                "v": df["rep"].to_numpy()[mask].astype(np.int64),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def _label_checksum(labels_ds) -> int:
@@ -233,52 +263,136 @@ def labelprop_int_edges(int_edges_ds, num_buckets: int = 32, max_iter: int = 50)
     return labels
 
 
-def connected_components_labelprop(edges_ds, num_buckets: int = 32,
-                                   max_iter: int = 50):
-    """Edge Dataset (src,dst strings) → (node:int64 hash, label:int64 hash).
+def _contract_round(int_edges_ds, num_buckets: int, bucket_on: str):
+    """One contraction round: bucket edges on one endpoint, local union-find
+    per bucket, emit (node→rep) mapping + rewritten rep-graph edges.
 
-    Per-bucket union-find contraction, then iterative label propagation over
-    the contracted representative graph (see module docstring).
+    Returns (node_reps_ds, rep_edges_ds); both materialized.
     """
-    hashed = _hash_edge_table(edges_ds, num_buckets).materialize()
-    hashed = hashed.repartition(
-        max(1, min(hashed.num_blocks(), num_buckets))
-    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        key = np.minimum(u, v) if bucket_on == "min" else np.maximum(u, v)
+        return pa.table(
+            {
+                "u": batch["u"],
+                "v": batch["v"],
+                "bucket": pa.array((key % num_buckets + num_buckets) % num_buckets),
+            }
+        )
+
+    bucketed = int_edges_ds.map_batches(add_bucket, batch_format="pyarrow")
+    bucketed = bucketed.materialize()
+    bucketed = bucketed.repartition(max(1, min(bucketed.num_blocks(), num_buckets)))
     node_reps = (
-        hashed.groupby("bucket")
+        bucketed.groupby("bucket")
         .map_groups(_local_uf_group, batch_format="pandas")
         .materialize()
     )
+    # a node grouped into several buckets has several reps → star edges from
+    # its min rep keep the component connected in the contracted graph
+    rep_edges = _rep_star_edges(node_reps, num_buckets).materialize()
+    return node_reps, rep_edges
 
-    rep_edges = node_reps.groupby("node").map_groups(
-        _rep_chain_edges, batch_format="pandas"
-    ).materialize()
 
-    if rep_edges.count() == 0:
-        return node_reps.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["rep"]}),
-            batch_format="pyarrow",
-        )
-
-    rep_labels = labelprop_int_edges(
-        rep_edges, num_buckets=num_buckets, max_iter=max_iter
-    ).to_pandas()
-    rep_map = dict(
-        zip(rep_labels["node"].to_numpy(), rep_labels["label"].to_numpy())
+def _apply_mapping(labels_ds, mapping_df: pd.DataFrame):
+    """labels (node,label) with label := mapping.get(label, label), mapping
+    broadcast (mappings shrink geometrically per round)."""
+    mref = ray.put(
+        dict(zip(mapping_df["node"].to_numpy(), mapping_df["rep"].to_numpy()))
     )
-    rep_map_ref = ray.put(rep_map)
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def fn(batch: pa.Table) -> pa.Table:
         from entity_resolution_ray.stages.blocking import fetch_broadcast
 
-        rmap = fetch_broadcast(rep_map_ref)
-        reps = batch["rep"].to_numpy(zero_copy_only=False)
-        labels = np.fromiter(
-            (rmap.get(int(r), int(r)) for r in reps), dtype=np.int64, count=len(reps)
+        m = fetch_broadcast(mref)
+        lab = batch["label"].to_numpy(zero_copy_only=False)
+        out = np.fromiter(
+            (m.get(int(x), int(x)) for x in lab), dtype=np.int64, count=len(lab)
         )
-        return pa.table({"node": batch["node"], "label": pa.array(labels)})
+        return pa.table({"node": batch["node"], "label": pa.array(out)})
 
-    return node_reps.map_batches(finalize, batch_format="pyarrow")
+    return labels_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def connected_components_labelprop(edges_ds, num_buckets: int = 32,
+                                   max_iter: int = 8,
+                                   partition_col: str | None = None,
+                                   driver_cap: int = 2_000_000):
+    """Edge Dataset (src,dst strings) → (node:int64 hash, label:int64 hash).
+
+    Iterative distributed contraction: each round buckets the (remaining)
+    edges, collapses every bucket's subgraph with vectorized union-find, and
+    rewrites the graph over component representatives — the groupby-based
+    min-label propagation, advancing a whole bucket-subgraph per round instead
+    of one hop.  Rounds alternate the bucketing endpoint so chains collapse.
+
+    ``partition_col``: when the caller guarantees components never span values
+    of this edge column (flagship: ``block_key``), round 1 buckets by it and
+    finishes almost everything in one shuffle.
+
+    The final residual graph (< ``driver_cap`` edges after contraction — a
+    size-bounded, data-independent table) is folded with union-find on the
+    driver; at 10^12-doc scale the preceding rounds keep shrinking it
+    geometrically until it fits.
+    """
+    if partition_col is not None:
+
+        def hash_with_part(batch: pa.Table) -> pa.Table:
+            u = hash64_array(batch["src"].to_pylist()).view(np.int64)
+            v = hash64_array(batch["dst"].to_pylist()).view(np.int64)
+            p = hash64_array(batch[partition_col].to_pylist()).view(np.int64)
+            return pa.table(
+                {
+                    "u": pa.array(u),
+                    "v": pa.array(v),
+                    "bucket": pa.array((p % num_buckets + num_buckets) % num_buckets),
+                }
+            )
+
+        bucketed = edges_ds.map_batches(hash_with_part, batch_format="pyarrow")
+        node_reps = (
+            bucketed.groupby("bucket")
+            .map_groups(_local_uf_group, batch_format="pandas")
+            .materialize()
+        )
+        rep_edges = _rep_star_edges(node_reps, num_buckets).materialize()
+    else:
+        hashed = _hash_edge_table(edges_ds, num_buckets)
+        int_edges = hashed.map_batches(
+            lambda t: t.select(["u", "v"]), batch_format="pyarrow"
+        )
+        node_reps, rep_edges = _contract_round(int_edges, num_buckets, "min")
+
+    labels = node_reps.map_batches(
+        lambda t: pa.table({"node": t["node"], "label": t["rep"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # contraction rounds on the residual rep graph
+    bucket_on = "max"
+    rounds = 0
+    while rep_edges.count() > driver_cap and rounds < max_iter:
+        reps2, rep_edges = _contract_round(rep_edges, num_buckets, bucket_on)
+        mapping = reps2.to_pandas() if reps2.count() <= driver_cap else None
+        if mapping is not None:
+            labels = _apply_mapping(labels, mapping).materialize()
+        else:  # very large residual: apply the mapping distributed next round
+            labels = _apply_mapping(labels, reps2.to_pandas()).materialize()
+        bucket_on = "min" if bucket_on == "max" else "max"
+        rounds += 1
+
+    n_resid = rep_edges.count()
+    if n_resid > 0:
+        redf = rep_edges.to_pandas()
+        nodes, lab = _uf_min_labels(
+            redf["u"].to_numpy(np.int64), redf["v"].to_numpy(np.int64)
+        )
+        labels = _apply_mapping(
+            labels, pd.DataFrame({"node": nodes, "rep": lab})
+        ).materialize()
+    return labels
 
 
 # --- cluster assignment ----------------------------------------------------
@@ -298,7 +412,11 @@ def assign_clusters(docs_ds, edges_ds, mode: str = "labelprop",
             {"node": np.empty(0, np.int64), "label": np.empty(0, np.int64)}
         )
     elif mode == "labelprop":
-        labels = connected_components_labelprop(edges_ds, num_buckets=num_buckets)
+        has_block = block_col in edges_ds.schema().names
+        labels = connected_components_labelprop(
+            edges_ds, num_buckets=num_buckets,
+            partition_col=block_col if has_block else None,
+        )
         label_df = labels.to_pandas()
         if "node" not in label_df.columns:
             label_df = pd.DataFrame(

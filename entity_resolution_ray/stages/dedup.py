@@ -52,19 +52,12 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
         fps = [md5_hex(t or "") for t in batch[text_col].to_pylist()]
         return pa.table({"fp": pa.array(fps, pa.string()), id_col: batch[id_col]})
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "fp": [group["fp"].iloc[0]],
-                "doc_id_keep": [group[id_col].min()],
-                "dup_count": [len(group)],
-            }
-        )
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
 
-    return (
-        ds.map_batches(add_fp, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(keep_first, batch_format="pandas")
+    return grouped_aggregate(
+        ds.map_batches(add_fp, batch_format="pyarrow"),
+        "fp",
+        {"doc_id_keep": (id_col, "min"), "dup_count": (id_col, "size")},
     )
 
 
@@ -144,12 +137,14 @@ def jaccard_neardup_pairs(ds, threshold: float = 0.4, num_perm: int = 128,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    cand = (
-        band_rows.groupby(["band", "band_key"])
-        .map_groups(_pairs_in_band, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from entity_resolution_ray.stages.blocking import grouped_pairs
+
+    cand = grouped_pairs(
+        band_rows, ["band", "band_key"], id_col="doc_id", cap=200
     )
+    from entity_resolution_ray.stages.blocking import dedup_pairs
+
+    cand = dedup_pairs(cand)
     texts_ref = ray.put(
         dict(
             zip(
@@ -205,13 +200,28 @@ def simhash_neardup_pairs(ds, max_hamming: int = 12, concurrency: int = 8):
             {"src": ids[a], "dst": ids[b], "src_sig": sigs[a], "dst_sig": sigs[b]}
         )
 
-    cand = (
-        ds.select_columns(["doc_id", "text"])
-        .map_batches(sign, batch_format="pyarrow")
-        .groupby(["band", "band_key"])
-        .map_groups(band_pairs, batch_format="pandas")
-        .groupby(["src", "dst"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    from entity_resolution_ray.stages.blocking import _add_bucket, dedup_pairs
+
+    signed = ds.select_columns(["doc_id", "text"]).map_batches(
+        sign, batch_format="pyarrow"
+    )
+    bucketed = signed.map_batches(
+        lambda b: _add_bucket(b, ["band", "band_key"], 64), batch_format="pandas"
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in group.groupby(["band", "band_key"], sort=False):
+            p = band_pairs(g)
+            if len(p):
+                outs.append(p)
+        if not outs:
+            return pd.DataFrame({"src": [], "dst": [], "src_sig": [], "dst_sig": []})
+        return pd.concat(outs, ignore_index=True)
+
+    cand = dedup_pairs(
+        bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas"),
+        extra_cols=("src_sig", "dst_sig"),
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:

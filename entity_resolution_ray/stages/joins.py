@@ -25,16 +25,15 @@ from entity_resolution_ray.stages.blocking import fetch_broadcast
 
 
 def _bucket_col(df: pd.DataFrame, on: list[str], num_buckets: int) -> np.ndarray:
-    import zlib
-
-    key = df[on[0]].astype(str)
+    """Vectorized deterministic bucket ids (pandas siphash with its fixed
+    default key — stable across processes, which is all a within-job
+    partitioning needs)."""
+    h = pd.util.hash_pandas_object(df[on[0]], index=False).to_numpy()
     for c in on[1:]:
-        key = key + "\x1f" + df[c].astype(str)
-    return np.fromiter(
-        (zlib.crc32(k.encode()) % num_buckets for k in key),
-        dtype=np.int64,
-        count=len(df),
-    )
+        h = h * np.uint64(31) + pd.util.hash_pandas_object(
+            df[c], index=False
+        ).to_numpy()
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "left",

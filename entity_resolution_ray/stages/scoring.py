@@ -85,22 +85,35 @@ class PairScorer:
         cfg = self.cfg
         n = len(batch)
         jw = np.empty(n, dtype=np.float64)
-        media_cos = np.zeros(n, dtype=np.float64)
-        neg = np.zeros(n, dtype=bool)
 
         src_names = batch["src_name"].to_numpy()
         dst_names = batch["dst_name"].to_numpy()
-        src_media = list(batch["src_media"])
-        dst_media = list(batch["dst_media"])
-        src_dob = list(batch["src_dob"])
-        dst_dob = list(batch["dst_dob"])
         for i in range(n):
             jw[i] = self._jw(src_names[i], dst_names[i])
-            ea = self._mean_embedding(src_media[i])
-            eb = self._mean_embedding(dst_media[i])
-            if ea is not None and eb is not None:
-                media_cos[i] = float(ea @ eb)
-            neg[i] = dob_negative(src_dob[i], dst_dob[i], cfg.dob_distance)
+
+        # media cosine + DOB negative evidence arrive precomputed from the
+        # pair generator (they need per-doc vectors co-located with the block
+        # group); recompute here from raw refs/years only if absent
+        if "media_cos" in batch.columns:
+            media_cos = batch["media_cos"].to_numpy(dtype=np.float64)
+        else:
+            media_cos = np.zeros(n, dtype=np.float64)
+            for i, (sm, dm) in enumerate(zip(batch["src_media"], batch["dst_media"])):
+                ea = self._mean_embedding(sm)
+                eb = self._mean_embedding(dm)
+                if ea is not None and eb is not None:
+                    media_cos[i] = float(ea @ eb)
+        if "neg_dob" in batch.columns:
+            neg = batch["neg_dob"].to_numpy(dtype=bool)
+        else:
+            neg = np.fromiter(
+                (
+                    dob_negative(s, d, cfg.dob_distance)
+                    for s, d in zip(batch["src_dob"], batch["dst_dob"])
+                ),
+                dtype=bool,
+                count=n,
+            )
 
         weight = batch["weight"].to_numpy(dtype=np.float64)
         cosine = batch["cosine"].to_numpy(dtype=np.float64)

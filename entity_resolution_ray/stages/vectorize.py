@@ -25,10 +25,14 @@ from entity_resolution_ray.functions.vectorize import (
 
 
 class TfVectorizer:
-    """Actor-pool stage: append sparse hashed-TF columns tf_idx / tf_cnt."""
+    """Actor-pool stage: append sparse hashed-TF columns tf_idx / tf_cnt and
+    the per-doc media embedding ``media_vec`` (normalized mean of the
+    media_ref hash-embeddings — the sandbox stand-in for a media encoder
+    model held by this actor)."""
 
     def __init__(self, dim: int = DEFAULT_DIM):
         self.vec = HashedVectorizer(dim)
+        self._emb_cache: dict[str, "np.ndarray"] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # drop entity-name tokens before hashing (reference name-replacement
@@ -44,12 +48,39 @@ class TfVectorizer:
         idx_rows, cnt_rows = self.vec.transform_sparse(
             batch[S.CONTENT].to_pylist(), exclude_rows=excl
         )
-        return batch.append_column(
+        out = batch.append_column(
             "tf_idx", pa.array([r.tolist() for r in idx_rows], pa.list_(pa.int64()))
         ).append_column(
             "tf_cnt",
             pa.array([r.tolist() for r in cnt_rows], pa.list_(pa.float32())),
         )
+        if "media_refs" in batch.column_names:
+            from entity_resolution_ray.functions.vectorize import (
+                MEDIA_EMBED_DIM,
+                media_embedding,
+            )
+
+            vecs = []
+            for refs in batch["media_refs"].to_pylist():
+                if not refs:
+                    vecs.append([])
+                    continue
+                acc = np.zeros(MEDIA_EMBED_DIM, dtype=np.float64)
+                for r in refs:
+                    e = self._emb_cache.get(r)
+                    if e is None:
+                        e = media_embedding(r)
+                        if len(self._emb_cache) < 500_000:
+                            self._emb_cache[r] = e
+                    acc += e
+                norm = np.linalg.norm(acc)
+                if norm > 0:
+                    acc /= norm
+                vecs.append([float(x) for x in acc])
+            out = out.append_column(
+                "media_vec", pa.array(vecs, pa.list_(pa.float32()))
+            )
+        return out
 
 
 def add_tf_columns(ds, dim: int = DEFAULT_DIM, concurrency=(1, 8), batch_size=1024):
@@ -91,3 +122,48 @@ def fit_idf(ds_with_tf, dim: int = DEFAULT_DIM) -> np.ndarray:
 
 def broadcast_idf(idf: np.ndarray) -> "ray.ObjectRef":
     return ray.put(idf)
+
+
+def fit_idf_and_census(ds_with_tf, dim: int = DEFAULT_DIM,
+                       block_col: str = "block_key"):
+    """One pass → (idf vector, per-block-key row counts as a pandas Series).
+
+    Each batch emits one document-frequency partial row plus its block-key
+    value counts; the driver folds them.  Saves a second full pass vs
+    running ``fit_idf`` and a census separately.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = np.zeros(dim, dtype=np.float32)
+        tf_idx = batch["tf_idx"]
+        if isinstance(tf_idx, pa.ChunkedArray):
+            tf_idx = tf_idx.combine_chunks()
+        flat = pc.list_flatten(tf_idx).to_numpy(zero_copy_only=False)
+        np.add.at(df, flat, 1.0)
+        vc = pc.value_counts(batch[block_col])
+        keys = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_pylist()
+        n = len(keys)
+        return pa.table(
+            {
+                "df_blob": pa.array([df.tobytes()] + [None] * n, pa.binary()),
+                "n_docs": pa.array([len(batch)] + [0] * n, pa.int64()),
+                "key": pa.array([None] + keys, pa.string()),
+                "cnt": pa.array([0] + counts, pa.int64()),
+            }
+        )
+
+    parts = ds_with_tf.select_columns(["tf_idx", block_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    df = np.zeros(dim, dtype=np.float64)
+    n = 0
+    blob_rows = parts[parts["df_blob"].notna()]
+    for blob, nd in zip(blob_rows["df_blob"], blob_rows["n_docs"]):
+        df += np.frombuffer(blob, dtype=np.float32)
+        n += nd
+    key_rows = parts[parts["key"].notna()]
+    sizes = key_rows.groupby("key", sort=False)["cnt"].sum()
+    return smooth_idf(df, max(n, 1)), sizes
