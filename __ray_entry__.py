@@ -166,6 +166,43 @@ def _multimodal_features(sf_dir: str):
     )
 
 
+def _er_combiner(name: str):
+    def run(sf_dir: str):
+        import os
+
+        from entity_resolution_ray.pipelines.er import (
+            ERConfig,
+            featured_documents,
+            read_documents,
+        )
+        from entity_resolution_ray.stages.combiners import run_combiner
+
+        fx = _er_corpus(sf_dir)
+        featured = featured_documents(
+            read_documents(os.path.join(fx, "documents.parquet")), ERConfig()
+        ).materialize()
+        return run_combiner(featured, name)
+
+    return run
+
+
+def _er_blocks_phonetic(sf_dir: str):
+    import os
+
+    from entity_resolution_ray.pipelines.er import (
+        ERConfig,
+        featured_documents,
+        read_documents,
+    )
+    from entity_resolution_ray.stages.blockers import feature_based_blocker
+
+    fx = _er_corpus(sf_dir)
+    featured = featured_documents(
+        read_documents(os.path.join(fx, "documents.parquet")), ERConfig()
+    ).materialize()
+    return feature_based_blocker(featured, ["phonetic_key", "metaphone_key"])
+
+
 def entry() -> Any:
     """Flagship ER pipeline at smoke scale (Ray already initialised)."""
     return _er_clusters("/root/testdata/sf0.001")
@@ -200,6 +237,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "ann_lsh": _ann_lsh,
         "multimodal_features": _multimodal_features,
+        "er_combiner_baseline": _er_combiner("current_production"),
+        "er_combiner_cc": _er_combiner("connected_components"),
+        "er_combiner_incremental": _er_combiner("pairwise_incremental"),
+        "er_blocks_phonetic": _er_blocks_phonetic,
     }
 
 

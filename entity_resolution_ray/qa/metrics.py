@@ -92,6 +92,33 @@ def over_under_rates(merged: pd.DataFrame) -> dict:
     }
 
 
+def hash_split(doc_ids: pd.Series, k: int = 5, seed: int = 7) -> np.ndarray:
+    """Deterministic k-fold assignment by stable id hash — the engine's
+    cross-validation / train-test holdout primitive (reference name- and
+    link-level holdouts, ``qa/cross_validation.py:13-111``; sanction split
+    ``utils/sanction_data.py:109-125``)."""
+    from entity_resolution_ray.utils.hashing import stable_hash64
+
+    return np.fromiter(
+        ((stable_hash64(f"{seed}:{d}") % k) for d in doc_ids),
+        dtype=np.int64,
+        count=len(doc_ids),
+    )
+
+
+def sample_pairs(pairs: pd.DataFrame, rate: float = 0.2, seed: int = 7) -> pd.DataFrame:
+    """Deterministic hash-based pair sampling (reference acceptance metrics
+    sample at rate 0.2, ``qa/acceptance_metrics.py:36-52`` — random.sample
+    there; stable hashing here so reruns agree)."""
+    from entity_resolution_ray.utils.hashing import stable_hash64
+
+    keep = [
+        (stable_hash64(f"{seed}:{a}|{b}") % 10_000) < rate * 10_000
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    ]
+    return pairs[np.asarray(keep)]
+
+
 def score_to_minimise(oc_rate, uc_rate, profiles_per_oc, profiles_created,
                       true_profiles) -> float:
     """Reference product score, weights 3.4/8.4/0.4/0.8
