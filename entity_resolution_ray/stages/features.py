@@ -133,3 +133,45 @@ def extract_features(ds, concurrency: int | tuple = (1, 8), batch_size: int = 10
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def add_domain_column(ds, url_col: str = S.DOC_ID, out_col: str = "domain"):
+    """netloc of a URL-ish column (reference ``UrlDomainVisitor``,
+    ``am_combiner/features/domain.py:6-26``)."""
+    from entity_resolution_ray.functions.text import url_domain
+
+    def fn(batch: pa.Table) -> pa.Table:
+        domains = [url_domain(u or "") for u in batch[url_col].to_pylist()]
+        return batch.append_column(out_col, pa.array(domains, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def select_text_window(ds, neighbors: int = 1):
+    """Selected-text span windows: keep the text spans that mention the
+    entity name ± ``neighbors`` adjacent text spans, deduped, joined in offset
+    order → ``selected_text`` column.  Reference ``ArticleSelectedTextVisitor``
+    (``am_combiner/features/text_selector.py:6-80``) over sentences; here the
+    sentence unit is the text-kind span.  Spans column is left untouched.
+    """
+    from entity_resolution_ray.functions.text import name_keyword_tokens, tokenize_words
+
+    def fn(batch: pa.Table) -> pa.Table:
+        spans_col = batch[S.SPANS].to_pylist()
+        names = batch[S.ENTITY_NAME].to_pylist()
+        out = []
+        for spans, name in zip(spans_col, names):
+            toks = set(name_keyword_tokens(name or "", min_len=1))
+            texts = [s["text"] for s in spans if s["kind"] == S.SPAN_KIND_TEXT]
+            hits = []
+            for i, t in enumerate(texts):
+                if toks and toks & set(tokenize_words(t)):
+                    hits.append(i)
+            keep: set[int] = set()
+            for i in hits:
+                for j in range(max(0, i - neighbors), min(len(texts), i + neighbors + 1)):
+                    keep.add(j)
+            out.append(" ".join(texts[i] for i in sorted(keep)))
+        return batch.append_column("selected_text", pa.array(out, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,103 @@
+"""Sanction nested-struct extractors, date/time kernels, span-window selector."""
+
+import pyarrow as pa
+
+from entity_resolution_ray.functions.dates import standardize_date, standardize_time
+from entity_resolution_ray.stages.sanctions import (
+    SANCTION_SCHEMA,
+    extract_sanction_features,
+    synth_sanctions,
+)
+
+
+def test_sanction_extractors_known_row():
+    row = {
+        "sanction_id": "s1",
+        "type": "person",
+        "names": [
+            {"name": "Ahmed Ben Rahman", "is_primary": True},
+            {"name": "A. Hassan", "is_primary": False},
+        ],
+        "births": [
+            {"min_year": 1950, "max_year": 1953},
+            {"min_year": 1960, "max_year": 1960},
+        ],
+        "locations": [
+            {"country_code": "fr"},
+            {"country_code": "International"},
+        ],
+        "passports": ["p-12 34/ab", ""],
+        "display_fields": [],
+    }
+    t = pa.Table.from_pylist([row], schema=SANCTION_SCHEMA)
+    out = extract_sanction_features(t).to_pylist()[0]
+    assert out["alias_keywords"] == ["ahmed", "ben", "hassan", "rahman"]
+    assert out["alias_keys"] == ["ahmed+ben+rahman", "hassan"]
+    assert "ahmed+ben" in out["alias_bigrams"]
+    assert out["primary_keys"] == ["ahmed+ben+rahman"]
+    # patronymic "Ben Rahman" → soundex of rahman
+    from entity_resolution_ray.functions.phonetic import soundex
+
+    assert out["fathers_phonetic"] == [soundex("rahman")]
+    assert out["yob_range"] == [1950, 1951, 1952, 1953, 1960]
+    assert out["yob_known"] == [1960]
+    assert out["country_codes"] == ["FR"]  # International dropped, uppercased
+    assert out["passport_ids"] == ["P1234AB"]
+
+
+def test_synth_sanctions_pipeline_runs():
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.sanctions import sanction_features
+
+    ds = rd.from_arrow(synth_sanctions(100))
+    out = sanction_features(ds).to_pandas()
+    assert len(out) == 100
+    assert out["alias_keys"].map(len).min() >= 1
+
+
+def test_standardize_date_formats():
+    assert standardize_date("2001-05-07") == "2001-05-07"
+    assert standardize_date("07/05/2001") == "2001-05-07"
+    assert standardize_date("7 May 2001") == "2001-05-07"
+    assert standardize_date("May 7, 2001") == "2001-05-07"
+    assert standardize_date("1957") == "1957-01-01"
+    assert standardize_date("not a date") is None
+    assert standardize_date("9999-01-01") is None  # out of sanity window
+
+
+def test_standardize_time_formats():
+    assert standardize_time("13:05:09") == "13:05:09"
+    assert standardize_time("1:05 pm") == "13:05:00"
+    assert standardize_time("12:15 am") == "00:15:00"
+    assert standardize_time("noonish") is None
+
+
+def test_select_text_window(fixture_1k):
+    import os
+
+    from entity_resolution_ray.pipelines.er import read_documents
+    from entity_resolution_ray.stages.features import select_text_window
+    from entity_resolution_ray.stages.normalize import normalize
+
+    ds = normalize(read_documents(os.path.join(fixture_1k, "documents.parquet")))
+    out = select_text_window(ds).limit(50).to_pandas()
+    # every selected_text is a subset of content and non-empty when the name
+    # is mentioned in text spans (generator templates always mention it)
+    for row in out.itertuples():
+        assert row.selected_text
+        for sent in row.selected_text.split(". "):
+            assert sent.split(".")[0] in row.content
+
+
+def test_add_domain_column(fixture_1k):
+    import os
+
+    from entity_resolution_ray.pipelines.er import read_documents
+    from entity_resolution_ray.stages.features import add_domain_column
+
+    ds = add_domain_column(
+        read_documents(os.path.join(fixture_1k, "documents.parquet"))
+    )
+    out = ds.limit(5).to_pandas()
+    assert (out["domain"] == "d").all()  # doc ids are http://d/...
