@@ -49,7 +49,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from entity_resolution_ray.pipelines.er import ERConfig, cluster_documents
 
     # corpus generation is input prep, not engine time: do it before the clock
-    fx = entrymod._er_corpus(sf_dir)
+    override_docs = os.environ.get("GRAFT_SCALING_DOCS")
+    if override_docs:
+        from entity_resolution_ray.fixtures.generator import fixture_dir_for as _fdf
+
+        fx = _fdf(int(override_docs))
+    else:
+        fx = entrymod._er_corpus(sf_dir)
     docs_path = os.path.join(fx, "documents.parquet")
     # warm the page cache so we measure compute+shuffle, not first-touch disk
     with open(docs_path, "rb") as f:

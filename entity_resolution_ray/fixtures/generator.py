@@ -68,15 +68,17 @@ _LAST_ROOTS = [
 _LAST_SUFFIXES = [
     "son", "sen", "berg", "strom", "dahl", "lund", "vik", "gaard",
     "holm", "qvist", "bakke", "haug", "stad", "feldt", "mark", "ness",
+    "gren", "fors", "sjo", "tun",
 ]
 LAST_NAMES = LAST_NAMES + [r + s for r in _LAST_ROOTS for s in _LAST_SUFFIXES]
 FIRST_EXT = [
     "oliver", "amelia", "lucas", "sofia", "henrik", "ingrid", "viktor",
-    "freya", "magnus", "astrid",
+    "freya", "magnus", "astrid", "elias", "maja", "noah", "saga", "emil",
+    "tuva", "axel", "signe", "felix", "runa",
 ]
 FIRST_NAMES = FIRST_NAMES + FIRST_EXT
 
-GENERATOR_VERSION = 3  # bump to invalidate cached fixture dirs on code change
+GENERATOR_VERSION = 4  # bump to invalidate cached fixture dirs on code change
 ORG_ADJECTIVES = [
     "Acme", "Borealis", "Cascade", "Dynamo", "Evergreen", "Fairview",
     "Granite", "Horizon", "Ironwood", "Juniper", "Keystone", "Lakeside",
@@ -137,6 +139,10 @@ class GeneratorConfig:
     n_org: int = 4
     n_gpe: int = 4
     n_loc: int = 3
+    # exhaustive intra-block labeled pairs explode quadratically for huge
+    # blocks (a 12k-doc hot block would enumerate 72M pairs); blocks above
+    # this cap are labeled over a deterministic doc subsample instead
+    labeled_pairs_block_cap: int = 1500
 
 
 def _name_variants(first: str, last: str) -> list[str]:
@@ -323,6 +329,15 @@ def generate(out_dir: str, cfg: GeneratorConfig | None = None) -> dict:
     lp = {"blocking_field": [], "doc_a": [], "doc_b": [], "is_match": []}
     for bf, members in by_name.items():
         members = sorted(members)
+        if len(members) > cfg.labeled_pairs_block_cap:
+            # deterministic subsample by doc-id hash order
+            import hashlib as _hl
+
+            members = sorted(
+                members,
+                key=lambda m: _hl.blake2b(m[0].encode(), digest_size=8).digest(),
+            )[: cfg.labeled_pairs_block_cap]
+            members = sorted(members)
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 lp["blocking_field"].append(bf)

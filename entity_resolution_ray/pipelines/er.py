@@ -137,11 +137,11 @@ def scored_pairs(featured_ds, cfg: ERConfig | None = None):
         posting_cap=cfg.posting_cap,
         tf_dim=cfg.tf_dim,
     )
-    # materialize the candidate-pair table before scoring: it is the natural
-    # checkpoint, and a streaming sort-shuffle → autoscaling actor pool chain
-    # ramps the pool too slowly (measured 3× slower at 400k pairs)
-    pairs = pairs.materialize()
     if cfg.use_actor_pools:
+        # materialize before the pool: a streaming sort-shuffle → autoscaling
+        # actor pool chain ramps the pool too slowly (measured 3× slower);
+        # the stateless-task path below streams straight through instead
+        pairs = pairs.materialize()
         return score_pairs(pairs, config=cfg.score, concurrency=_pool_size(cfg))
 
     from entity_resolution_ray.stages.scoring import PairScorer
