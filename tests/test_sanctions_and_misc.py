@@ -101,3 +101,54 @@ def test_add_domain_column(fixture_1k):
     )
     out = ds.limit(5).to_pandas()
     assert (out["domain"] == "d").all()  # doc ids are http://d/...
+
+
+def test_multimodal_decode_plumbing(fixture_1k):
+    import os
+
+    import pytest
+
+    from entity_resolution_ray.stages.multimodal import DecodeMedia
+
+    # real codec mode is the documented stub
+    with pytest.raises(NotImplementedError):
+        DecodeMedia(mode="real")
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.multimodal import (
+        attach_fake_payloads,
+        decode_media,
+    )
+
+    refs = rd.from_items([{"media_ref": f"media://p{i:06d}/0-0"} for i in range(32)])
+    out = decode_media(attach_fake_payloads(refs)).to_pandas()
+    assert len(out) == 32
+    assert out["media_features"].map(len).eq(16).all()
+    # deterministic: same ref → same features
+    out2 = decode_media(attach_fake_payloads(refs)).to_pandas()
+    assert list(out.iloc[0]["media_features"]) == list(out2.iloc[0]["media_features"])
+
+
+def test_lsh_topk_recall_vs_brute_force(sf_dir):
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.ann import brute_force_topk, lsh_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", override_num_blocks=4)
+    qdf = ds.to_pandas().sort_values("vec_id").head(4)
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_list())
+    exact = brute_force_topk(ds, qids, qmat, k=5).to_pandas()
+    approx = lsh_topk(ds, qids, qmat, k=5, num_planes=4, num_tables=8).to_pandas()
+    # recall of the approximate tier against exact top-5
+    hits = 0
+    for q in qids:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(e & a)
+    # the testdata embeddings are near-random (max pairwise cos ~0.5), the
+    # hardest case for hyperplane LSH; bound is accordingly loose
+    assert hits / (len(qids) * 5) >= 0.25
