@@ -91,7 +91,7 @@ def _dedup_minhash_clusters(sf_dir: str):
         override_num_blocks=16,
     )
     pairs = jaccard_neardup_pairs(
-        ds, threshold=JACCARD_TH, ngram=3, num_perm=256, num_bands=64
+        ds, threshold=JACCARD_TH, ngram=3, num_perm=128, num_bands=64
     ).materialize()
     if pairs.count() == 0:
         import pandas as pd

@@ -186,12 +186,15 @@ def cluster_documents(docs_path: str, cfg: ERConfig | None = None):
     _mark("featured")
     edges_all = scored_pairs(featured, cfg).materialize()
     _mark("scored_pairs")
+    # accepted stays LAZY: a cheap filter map over the materialized edge
+    # table — re-executing it inside the CC passes costs less than another
+    # materialize barrier (serial-floor accounting, BASELINE.md)
     accepted = edges_all.map_batches(
         lambda t: t.select([S.BLOCK_KEY, "src", "dst"]).filter(t["accepted"]),
         batch_format="pyarrow",
-    ).materialize()
+    )
     _mark("accepted")
-    keep_cols = [S.DOC_ID, S.SPANS, S.ENTITY_NAME, S.BLOCK_KEY, S.CONTENT]
+    keep_cols = [S.DOC_ID, S.SPANS, S.ENTITY_NAME, S.BLOCK_KEY]
     docs_slim = featured.select_columns(keep_cols)
     clustered = assign_clusters(docs_slim, accepted, mode=cfg.cc_mode)
     _mark("assign")

@@ -80,7 +80,10 @@ def over_under_rates(merged: pd.DataFrame) -> dict:
         merged["ground_truth"].isin(truth_splits[truth_splits > 1].index)
     ]["cluster_id"].nunique()
     uc_rate = round(under_clusters / profiles_created, 2) if profiles_created else 0.0
-    oc_support = by_cluster.loc[is_over, "size"]
+    # reference CLUSTER_SUPPORT_FIELD = number of distinct ground-truth
+    # profiles the over-combined cluster spans (len(expected_clusters) in
+    # ``qa/quality_metrics.py`` get_clustering_per_name), NOT its doc count
+    oc_support = by_cluster.loc[is_over, "nunique"]
     profiles_per_oc = round(float(oc_support.mean()), 2) if len(oc_support) else 0.0
     true_profiles = int(merged["ground_truth"].nunique())
     return {

@@ -100,12 +100,39 @@ def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):
         right_ds.map_batches(_tag("r", r_cols), batch_format="pyarrow")
     )
 
-    def _merge_bucket(group: pa.Table) -> pd.DataFrame:
+    out_names = [n for n, _ in all_fields]
+    out_schema = pa.schema([pa.field(n, t) for n, t in all_fields])
+
+    def _merge_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         side = pc.equal(group["__side"], "l")
         lhs = group.filter(side).select(l_cols).to_pandas()
         rhs = group.filter(pc.invert(side)).select(r_cols).to_pandas()
-        return lhs.merge(rhs, on=on, how=how)
+        # key dtypes can drift (object/float) when a block rode through a
+        # pandas pass upstream; a merge between drifted and clean dtypes
+        # silently matches nothing — normalize both sides to the left
+        # schema's dtype before merging
+        for k in on:
+            target = l_schema.field(k).type.to_pandas_dtype()
+            if lhs[k].dtype != target:
+                lhs[k] = lhs[k].astype(target)
+            if rhs[k].dtype != target:
+                rhs[k] = rhs[k].astype(target)
+        merged = lhs.merge(rhs, on=on, how=how)
+        if len(merged) == 0:
+            # pin the schema on empty buckets: column-less pandas frames
+            # poison downstream unions/sorts
+            return out_schema.empty_table()
+        try:
+            # hand Ray an arrow block with the declared types so every
+            # bucket's output concatenates cleanly
+            return pa.Table.from_pandas(
+                merged[out_names], schema=out_schema, preserve_index=False
+            )
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # outer joins introduce nulls pandas can't hold in the declared
+            # dtype (e.g. int64 + NaN): fall back to the pandas block
+            return pa.Table.from_pandas(merged[out_names], preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(_merge_bucket, batch_format="pyarrow")

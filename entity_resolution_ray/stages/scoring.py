@@ -84,12 +84,17 @@ class PairScorer:
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         cfg = self.cfg
         n = len(batch)
-        jw = np.empty(n, dtype=np.float64)
 
-        src_names = batch["src_name"].to_numpy()
-        dst_names = batch["dst_name"].to_numpy()
-        for i in range(n):
-            jw[i] = self._jw(src_names[i], dst_names[i])
+        # JW over the batch's UNIQUE name pairs only (names repeat heavily
+        # inside a block-keyed pair table), then scattered back — plus the
+        # cross-batch memo in self._jw
+        keys = batch["src_name"].str.cat(batch["dst_name"], sep="\x00")
+        codes, uniques = pd.factorize(keys, sort=False)
+        vals = np.empty(len(uniques), dtype=np.float64)
+        for i, u in enumerate(uniques):
+            a, _, b = u.partition("\x00")
+            vals[i] = self._jw(a, b)
+        jw = vals[codes]
 
         # media cosine + DOB negative evidence arrive precomputed from the
         # pair generator (they need per-doc vectors co-located with the block
