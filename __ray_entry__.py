@@ -203,6 +203,140 @@ def _er_blocks_phonetic(sf_dir: str):
     return feature_based_blocker(featured, ["phonetic_key", "metaphone_key"])
 
 
+def _er_featured(sf_dir: str):
+    import os
+
+    from entity_resolution_ray.pipelines.er import (
+        ERConfig,
+        featured_documents,
+        read_documents,
+    )
+
+    fx = _er_corpus(sf_dir)
+    return featured_documents(
+        read_documents(os.path.join(fx, "documents.parquet")), ERConfig()
+    ).materialize()
+
+
+def _er_blocks_country(sf_dir: str):
+    """CountryBlocker semantics over the ER corpus: gpe → canonical country
+    codes feed the oversized-block splitter."""
+    from entity_resolution_ray.stages.geography import (
+        country_blocker,
+        geo_resolve_column,
+    )
+
+    featured = geo_resolve_column(_er_featured(sf_dir)).materialize()
+    return country_blocker(featured, ["phonetic_key"], min_split_size=500)
+
+
+def _er_blocks_cutoff(sf_dir: str):
+    from entity_resolution_ray.stages.blockers import cutoff_blocker
+
+    return cutoff_blocker(
+        _er_featured(sf_dir), ["phonetic_key", "metaphone_key"],
+        cluster_cutoff=1000,
+    )
+
+
+def _er_combiner_model(sf_dir: str):
+    """Model-based pair combiner: deterministic numpy logistic model over
+    concatenated projected doc vectors (the pickled-sklearn hook)."""
+    import numpy as np
+
+    from entity_resolution_ray.stages.combiners import (
+        NumpyLogisticPairModel,
+        make_model_combiner,
+        run_combiner,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((400, 128))
+    y = (X[:, :64] * X[:, 64:]).sum(axis=1) > 0  # agreement-of-halves rule
+    model = NumpyLogisticPairModel.fit(X.astype(np.float64), y.astype(int))
+    return run_combiner(_er_featured(sf_dir), make_model_combiner(model, th=0.9))
+
+
+def _sanctions_features(sf_dir: str):
+    """Full sanction extractor battery over the deterministic nested-struct
+    corpus (alias/birth/passport + organisation/nationality/aml/address/
+    summary/terms/vectors)."""
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.sanctions import (
+        org_features,
+        sanction_features,
+        sanction_terms,
+        sanction_text_vectors,
+        synth_sanctions,
+    )
+
+    n = max(200, min(20_000, _er_docs_for(sf_dir) // 10))
+    ds = rd.from_arrow(synth_sanctions(n))
+    ds = sanction_features(ds)
+    ds = org_features(ds)
+    ds = sanction_terms(ds, ["Program", "Reason"])
+    ds = sanction_text_vectors(ds)
+    return ds.select_columns(
+        ["sanction_id", "type", "alias_keys", "alias_phonetic", "yob_range",
+         "country_codes", "passport_ids", "org_ids", "designation_years",
+         "org_alias_keys", "nationality_codes", "aml_type_set",
+         "address_tokens", "address_countries", "full_text_summary",
+         "term_program", "term_reason"]
+    )
+
+
+def _doc_terms(sf_dir: str):
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.terms import article_terms
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+    return article_terms(ds, text_col="text", n=5).select_columns(
+        ["doc_id", "terms"]
+    )
+
+
+DOC_KEYWORDS = ["table", "hash", "scan", "merge"]
+
+
+def _doc_keywords(sf_dir: str):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.terms import article_keywords
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+    hits = article_keywords(ds, DOC_KEYWORDS, text_col="text")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, kws = [], []
+        for d, ks in zip(batch["doc_id"].to_pylist(), batch["keywords"].to_pylist()):
+            for k in ks:
+                ids.append(d)
+                kws.append(k)
+        return pa.table(
+            {"doc_id": pa.array(ids, batch["doc_id"].type),
+             "keyword": pa.array(kws, pa.string())}
+        )
+
+    return hits.map_batches(explode, batch_format="pyarrow")
+
+
+DOC_KEYWORDS_SQL = f"""
+select d.doc_id, k.keyword
+from documents d
+cross join (select unnest({DOC_KEYWORDS!r}) as keyword) k
+where contains(lower(d.text), k.keyword)
+"""
+
+
 def entry() -> Any:
     """Flagship ER pipeline at smoke scale (Ray already initialised)."""
     return _er_clusters("/root/testdata/sf0.001")
@@ -240,7 +374,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_combiner_baseline": _er_combiner("current_production"),
         "er_combiner_cc": _er_combiner("connected_components"),
         "er_combiner_incremental": _er_combiner("pairwise_incremental"),
+        "er_combiner_spectral": _er_combiner("tfidf_graph_cosine"),
+        "er_combiner_featr_graph": _er_combiner("tfidf_featr_graph_cosine"),
+        "er_combiner_model": _er_combiner_model,
         "er_blocks_phonetic": _er_blocks_phonetic,
+        "er_blocks_country": _er_blocks_country,
+        "er_blocks_cutoff": _er_blocks_cutoff,
+        "sanctions_features": _sanctions_features,
+        "doc_terms": _doc_terms,
+        "doc_keywords": _doc_keywords,
     }
 
 
@@ -262,4 +404,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": R.Q_EMBEDDING_NEARDUP_SQL,
         "ann_topk": R.Q_ANN_TOPK_SQL,
         "jaccard_neardup": R.Q_JACCARD_NEARDUP_SQL,
+        "doc_keywords": DOC_KEYWORDS_SQL,
     }

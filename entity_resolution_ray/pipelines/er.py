@@ -34,6 +34,10 @@ class ERConfig:
     tf_dim: int = 1 << 18
     cc_mode: str = "labelprop"  # or "local"
     use_idf: bool = True
+    # second vector space: feature-string TF cosine channel (reference
+    # ``FullArticleFeaturesTextVectoriser``); pairs gain a ftr_cos column
+    # and the score adds ScoreConfig.w_ftr × ftr_cos
+    use_feature_tfidf: bool = False
     concurrency: tuple | None = None  # None → (1, cluster CPUs)
     # actor pools pay ~5s startup per stage per run; for the cheap built-in
     # kernels (regex tagger, hashing vectorizer, JW scorer) a stateless task
@@ -47,11 +51,32 @@ class ERConfig:
 
 
 def read_documents(path: str, min_partitions: int = 64):
-    """documents table (doc_id, spans) from parquet (lance-shaped).
+    """documents table (doc_id, spans) from a Lance dataset or parquet.
 
-    ``override_num_blocks`` spreads single-file fixtures across workers; real
-    100TB inputs arrive pre-sharded and use the natural file partitioning.
+    The north rule's input contract is a Lance table; a path ending in
+    ``.lance`` (or a Lance dataset directory, marked by ``_versions/``)
+    routes through ``ray.data.read_lance`` — column projection and fragment
+    parallelism come from the Lance format itself.  The ``pylance`` package
+    is not in this container, so the Lance branch is an import-gated seam
+    (exercised by mock in tests); everything downstream is identical.
+    ``override_num_blocks`` spreads single-file parquet fixtures across
+    workers; real 100TB inputs arrive pre-sharded and use the natural file
+    partitioning.
     """
+    import os
+
+    is_lance = str(path).endswith(".lance") or os.path.isdir(
+        os.path.join(str(path), "_versions")
+    )
+    if is_lance:
+        try:
+            import lance  # noqa: F401  (pylance provides the `lance` module)
+        except ImportError as e:
+            raise ImportError(
+                "reading a Lance dataset requires the 'pylance' package; "
+                "install it or point read_documents at a parquet copy"
+            ) from e
+        return rd.read_lance(path, columns=["doc_id", "spans"])
     return rd.read_parquet(path, override_num_blocks=min_partitions)
 
 
@@ -104,19 +129,30 @@ def featured_documents(docs_ds, cfg: ERConfig | None = None):
         pass  # lazy dataset: reads already set override_num_blocks
     ds = normalize(docs_ds)
     if cfg.use_actor_pools:
-        return ds.map_batches(
+        out = ds.map_batches(
             TagAndVectorize,
             fn_constructor_kwargs={"dim": cfg.tf_dim},
             batch_format="pyarrow",
             batch_size=1024,
             concurrency=_pool_size(cfg),
         )
-    dim = cfg.tf_dim
+    else:
+        dim = cfg.tf_dim
 
-    def tag_vectorize(batch):
-        return _worker_singleton(TagAndVectorize, dim=dim)(batch)
+        def tag_vectorize(batch):
+            return _worker_singleton(TagAndVectorize, dim=dim)(batch)
 
-    return ds.map_batches(tag_vectorize, batch_format="pyarrow", batch_size=1024)
+        out = ds.map_batches(tag_vectorize, batch_format="pyarrow", batch_size=1024)
+    if cfg.use_feature_tfidf:
+        from entity_resolution_ray.stages.vectorize import FeatureStringVectorizer
+
+        dim = cfg.tf_dim
+
+        def ftr_vectorize(batch):
+            return _worker_singleton(FeatureStringVectorizer, dim=dim)(batch)
+
+        out = out.map_batches(ftr_vectorize, batch_format="pyarrow", batch_size=1024)
+    return out
 
 
 def scored_pairs(featured_ds, cfg: ERConfig | None = None):
@@ -196,6 +232,9 @@ def cluster_documents(docs_path: str, cfg: ERConfig | None = None):
     _mark("accepted")
     keep_cols = [S.DOC_ID, S.SPANS, S.ENTITY_NAME, S.BLOCK_KEY]
     docs_slim = featured.select_columns(keep_cols)
-    clustered = assign_clusters(docs_slim, accepted, mode=cfg.cc_mode)
+    clustered = assign_clusters(
+        docs_slim, accepted, mode=cfg.cc_mode,
+        n_edges_hint=edges_all.count(),  # free: edges_all is materialized
+    )
     _mark("assign")
     return clustered, edges_all

@@ -119,6 +119,30 @@ def _block_postings(values_lists: list[list[str]], cap: int) -> list[np.ndarray]
     return out
 
 
+def _local_tf_matrix(rows_idx: list, rows_cnt: list, idf) -> np.ndarray:
+    """Dense L2-normalized (tf[-idf]) matrix over a block-local vocabulary."""
+    local_vocab: dict[int, int] = {}
+    for r in rows_idx:
+        for t in r:
+            if t not in local_vocab:
+                local_vocab[t] = len(local_vocab)
+    n = len(rows_idx)
+    X = np.zeros((n, max(len(local_vocab), 1)), dtype=np.float32)
+    for r, (ridx, rcnt) in enumerate(zip(rows_idx, rows_cnt)):
+        if len(ridx) == 0:
+            continue
+        cols = np.fromiter((local_vocab[t] for t in ridx), dtype=np.int64,
+                           count=len(ridx))
+        vals = np.asarray(rcnt, dtype=np.float64)
+        if idf is not None:
+            vals = vals * idf[np.asarray(ridx, dtype=np.int64)]
+        norm = np.sqrt((vals * vals).sum())
+        if norm > 0:
+            vals /= norm
+        X[r, cols] = vals
+    return X
+
+
 def _pairwise_cosine(X: np.ndarray, i_idx: np.ndarray, j_idx: np.ndarray) -> np.ndarray:
     """Row-pair cosines; X rows are L2-normalized. Full N² gram for small N,
     chunked gathers otherwise."""
@@ -158,7 +182,7 @@ class BlockPairGenerator:
         n = len(group)
         empty = {
             S.BLOCK_KEY: [], "src": [], "dst": [], "weight": [],
-            "cosine": [], "media_cos": [], "neg_dob": [],
+            "cosine": [], "ftr_cos": [], "media_cos": [], "neg_dob": [],
             "src_name": [], "dst_name": [],
         }
         if n < 2:
@@ -190,28 +214,16 @@ class BlockPairGenerator:
 
         # within-block TF-IDF cosine (vectors co-located with the group)
         idf = self._get_idf()
-        local_vocab: dict[int, int] = {}
-        rows_idx = list(group["tf_idx"])
-        rows_cnt = list(group["tf_cnt"])
-        for r in rows_idx:
-            for t in r:
-                if t not in local_vocab:
-                    local_vocab[t] = len(local_vocab)
-        V = max(len(local_vocab), 1)
-        X = np.zeros((n, V), dtype=np.float32)
-        for r, (ridx, rcnt) in enumerate(zip(rows_idx, rows_cnt)):
-            if len(ridx) == 0:
-                continue
-            cols = np.fromiter((local_vocab[t] for t in ridx), dtype=np.int64,
-                               count=len(ridx))
-            vals = np.asarray(rcnt, dtype=np.float64)
-            if idf is not None:
-                vals = vals * idf[np.asarray(ridx, dtype=np.int64)]
-            norm = np.sqrt((vals * vals).sum())
-            if norm > 0:
-                vals /= norm
-            X[r, cols] = vals
+        X = _local_tf_matrix(list(group["tf_idx"]), list(group["tf_cnt"]), idf)
         cos = _pairwise_cosine(X, i_idx, j_idx)
+
+        # optional second vector space: feature-string TF (identity-token
+        # hashed, reference ``TFIDF_FULL_TEXT_FEATURES``)
+        if "ftr_idx" in group.columns:
+            Xf = _local_tf_matrix(list(group["ftr_idx"]), list(group["ftr_cnt"]), None)
+            ftr_cos = _pairwise_cosine(Xf, i_idx, j_idx)
+        else:
+            ftr_cos = np.zeros(len(i_idx), dtype=np.float64)
 
         # media cosine: per-doc mean-embedding matrix, vectorized row dots
         # (empty media → zero row → cosine 0, flagged by has_media)
@@ -251,6 +263,7 @@ class BlockPairGenerator:
                 "dst": ids[j_idx],
                 "weight": w,
                 "cosine": cos,
+                "ftr_cos": ftr_cos,
                 "media_cos": media_cos,
                 "neg_dob": neg,
                 "src_name": names[i_idx],
@@ -278,6 +291,11 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
     """
     gen = BlockPairGenerator(idf_ref=idf_ref, **gen_kwargs)
 
+    payload_cols = list(PAIR_PAYLOAD_COLS)
+    schema_names = featured_ds.schema().names
+    if "ftr_idx" in schema_names:
+        payload_cols += ["ftr_idx", "ftr_cnt"]
+
     def generate_pairs(bucket_group: pd.DataFrame) -> pd.DataFrame:
         # one ray-level group per hash BUCKET of block keys; the per-block
         # loop runs in pandas inside (a ray group per block pays a
@@ -292,7 +310,7 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
             return gen(bucket_group.iloc[:0])
         return pd.concat(outs, ignore_index=True)
 
-    narrow = featured_ds.select_columns(PAIR_PAYLOAD_COLS)
+    narrow = featured_ds.select_columns(payload_cols)
 
     # hot-key census without a shuffle: per-batch value counts, summed on the
     # driver (partials are #distinct-keys-sized, not data-sized).  Callers

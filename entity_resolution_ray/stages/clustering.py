@@ -580,24 +580,63 @@ def cc_labels(edges_ds, mode: str = "labelprop", block_col: str = "block_key",
     )
 
 
+def attach_labels_broadcast(docs_ds, labels_ds, id_col: str = "doc_id",
+                            out_col: str = "cluster_id"):
+    """Bounded-size label attach: the (node,label) table as two SORTED int64
+    arrays via ``ray.put`` (≈16 B/row), probed with vectorized searchsorted
+    per batch — no docs shuffle.  Callers gate on a row cap; this is the
+    'broadcast small side' join shape, not a data-sized driver dict."""
+    ldf = labels_ds.to_pandas()
+    if len(ldf) == 0:
+        keys = np.empty(0, np.int64)
+        vals = np.empty(0, np.int64)
+    else:
+        keys = ldf["node"].to_numpy(np.int64)
+        vals = ldf["label"].to_numpy(np.int64)
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+    ref = ray.put((keys, vals))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.stages.blocking import fetch_broadcast
+
+        k, v = fetch_broadcast(ref)
+        h = hash64_array(batch[id_col].to_pylist()).view(np.int64)
+        lab = _searchsorted_lookup(k, v, h)
+        return batch.append_column(out_col, _hex_labels(lab))
+
+    return docs_ds.map_batches(attach, batch_format="pyarrow")
+
+
 def assign_clusters(docs_ds, edges_ds, mode: str = "labelprop",
                     id_col: str = "doc_id", block_col: str = "block_key",
-                    num_buckets: int = 32):
+                    num_buckets: int = 32, broadcast_cap: int = 2_000_000,
+                    n_edges_hint: int | None = None):
     """docs + accepted edges → docs with a ``cluster_id`` string column.
 
-    Isolated docs (no accepted edge) become singleton clusters.  Cluster id is
-    the hex of the component's min doc-id hash — stable, shuffle-independent,
-    and globally unique across blocks (the composite-key deblocking trick of
-    ``am_combiner/blockers/common.py:41-49`` without a driver-side pass).
-    Labels land on docs via the partitioned ``attach_labels`` join.
+    Isolated docs (no accepted edge) become singleton clusters — the empty
+    edge table degenerates cleanly (empty labels → every probe falls back to
+    its own hash).  Cluster id is the hex of the component's min doc-id hash
+    — stable, shuffle-independent, and globally unique across blocks (the
+    composite-key deblocking trick of ``am_combiner/blockers/common.py:41-49``
+    without a driver-side pass).
+
+    Label attach is size-dispatched: a label table under ``broadcast_cap``
+    rows (≤ ~32 MB at the default cap) rides as a sorted-array broadcast —
+    the classic bounded small-side join, saving a full shuffle of the
+    (spans-carrying) docs table; above the cap the partitioned
+    ``attach_labels`` cogroup join runs instead, so driver/worker memory
+    stays bounded at any corpus size.  ``n_edges_hint`` (e.g. the count of a
+    caller-materialized edge table, 2×edges ≥ #labels) dispatches without an
+    extra counting execution — serial-floor accounting in BASELINE.md.
     """
-    if edges_ds.count() == 0:
-        def singleton(batch: pa.Table) -> pa.Table:
-            h = hash64_array(batch[id_col].to_pylist()).view(np.int64)
-            return batch.append_column("cluster_id", _hex_labels(h))
-
-        return docs_ds.map_batches(singleton, batch_format="pyarrow")
-
     labels = cc_labels(edges_ds, mode=mode, block_col=block_col,
                        num_buckets=num_buckets)
+    if n_edges_hint is not None:
+        small = 2 * n_edges_hint <= broadcast_cap
+    else:
+        labels = labels.materialize()
+        small = labels.count() <= broadcast_cap
+    if small:
+        return attach_labels_broadcast(docs_ds, labels, id_col=id_col)
     return attach_labels(docs_ds, labels, id_col=id_col)

@@ -243,6 +243,168 @@ def _fastrp(group: pd.DataFrame, th: float = 0.7, dim: int = 64,
     return _out(group, _cc_from_edges(n, ii, jj))
 
 
+def _feature_sets(group: pd.DataFrame) -> list[list]:
+    """Per-doc union of the feature columns' values (the reference's
+    ``use_features`` extraction for the spectral graph builders)."""
+    out = []
+    for _, row in group.iterrows():
+        vals: list = []
+        for col in FEATURE_COLS:
+            v = row[col]
+            if v is not None:
+                vals.extend(v)
+        out.append(vals)
+    return out
+
+
+def _tfidf_graph_cosine(group: pd.DataFrame, th: float = 0.5,
+                        min_energy: float = -0.25,
+                        max_energy: float = 0.65) -> pd.DataFrame:
+    """``TFIDFAndGraphCosineSimilarityCombiner`` (``tfidf.py:356-421``):
+    cosine(tfidf) + clipped spectral-embedding cosine, threshold → CC."""
+    from entity_resolution_ray.stages.spectral import spectral_boost
+
+    group = _sorted(group)
+    n = len(group)
+    if n < 2:
+        return _out(group, np.zeros(n, dtype=np.int64))
+    X = _block_vectors(group)
+    sim = X @ X.T
+    sim = sim + spectral_boost(
+        list(group[S.DOC_ID]), list(group[S.ENTITY_NAME]), _feature_sets(group),
+        min_energy=min_energy, max_energy=max_energy,
+    )
+    ii, jj = np.where(np.triu(sim > th, 1))
+    return _out(group, _cc_from_edges(n, ii, jj))
+
+
+def _tfidf_featr_graph_cosine(group: pd.DataFrame, th: float = 0.4,
+                              ftr_th: float = 1.0,
+                              ftr_max_energy: float = 75.0,
+                              graph_node_th: int = 5,
+                              min_energy: float = 0.0,
+                              max_energy: float = 0.15) -> pd.DataFrame:
+    """``TFIDFFeatrGraphCosineSimilarityCombiner`` (``tfidf.py:424-577``):
+    spectral re-scoring of big feature-CC subgraphs added to the clipped
+    feature boost, then threshold → CC."""
+    from entity_resolution_ray.stages.spectral import featr_graph_boost
+
+    group = _sorted(group)
+    n = len(group)
+    if n < 2:
+        return _out(group, np.zeros(n, dtype=np.int64))
+    X = _block_vectors(group)
+    sim = X @ X.T
+    postings = []
+    for col in FEATURE_COLS:
+        postings.extend(_block_postings(list(group[col]), cap=500))
+    fi, fj, fw = _posting_pairs(n, postings)
+    feature_adj = np.zeros((n, n), dtype=np.float64)
+    feature_adj[fi, fj] = fw
+    feature_adj[fj, fi] = fw
+    sim = sim + featr_graph_boost(
+        list(group[S.DOC_ID]), list(group[S.ENTITY_NAME]), _feature_sets(group),
+        feature_adj, ftr_th=ftr_th, ftr_max_energy=ftr_max_energy,
+        graph_node_th=graph_node_th, min_energy=min_energy,
+        max_energy=max_energy,
+    )
+    ii, jj = np.where(np.triu(sim > th, 1))
+    return _out(group, _cc_from_edges(n, ii, jj))
+
+
+# --- model-based pair scoring + arbitrary-clusterer hook -------------------
+class NumpyLogisticPairModel:
+    """Pure-numpy logistic pair classifier — the pickled-sklearn-SVM stand-in
+    for ``SklearnClassificationModelBasedCombiner`` (``am_combiner/combiners/
+    ml.py:274-345``): ``predict_proba(hstack(v1, v2))[:, 1] > th`` connects a
+    pair.  Picklable, loadable from an artifact path in a worker's init."""
+
+    def __init__(self, weights: np.ndarray, bias: float):
+        self.weights = np.asarray(weights, dtype=np.float64)
+        self.bias = float(bias)
+
+    def predict_proba(self, X: np.ndarray) -> np.ndarray:
+        z = X @ self.weights + self.bias
+        p1 = 1.0 / (1.0 + np.exp(-z))
+        return np.stack([1.0 - p1, p1], axis=1)
+
+    @classmethod
+    def fit(cls, X: np.ndarray, y: np.ndarray, epochs: int = 300,
+            lr: float = 0.5) -> "NumpyLogisticPairModel":
+        """Deterministic full-batch gradient descent (no RNG)."""
+        w = np.zeros(X.shape[1], dtype=np.float64)
+        b = 0.0
+        yf = y.astype(np.float64)
+        for _ in range(epochs):
+            p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+            g = p - yf
+            w -= lr * (X.T @ g) / len(yf)
+            b -= lr * g.mean()
+        return cls(w, b)
+
+
+def project_block_vectors(group: pd.DataFrame, dim: int = 64) -> np.ndarray:
+    """Fixed-dim doc vectors from the sparse hashed TF: each hashed term
+    index deterministically seeds a random projection row (seed = term
+    index), so the feature map is global and stable across blocks — the
+    stand-in for the reference's fixed-vocabulary dense TF-IDF rows that a
+    pickled pair model expects."""
+    rows_idx = list(group["tf_idx"])
+    rows_cnt = list(group["tf_cnt"])
+    proj: dict[int, np.ndarray] = {}
+    out = np.zeros((len(rows_idx), dim), dtype=np.float64)
+    for r, (ridx, rcnt) in enumerate(zip(rows_idx, rows_cnt)):
+        for t, c in zip(ridx, rcnt):
+            p = proj.get(t)
+            if p is None:
+                p = np.random.default_rng(int(t) % (2**31)).standard_normal(dim)
+                proj[t] = p
+            out[r] += float(c) * p
+        n = np.linalg.norm(out[r])
+        if n > 0:
+            out[r] /= n
+    return out
+
+
+def make_model_combiner(model, th: float = 0.9, dim: int = 64):
+    """Per-block O(n²) pair scoring with a classification model: edge when
+    ``predict_proba(hstack(v_i, v_j))[1] > th`` → CC (reference semantics;
+    the model object is shipped once per task closure — artifact-sized)."""
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        group = _sorted(group)
+        n = len(group)
+        if n < 2:
+            return _out(group, np.zeros(n, dtype=np.int64))
+        X = project_block_vectors(group, dim)
+        ii, jj = np.triu_indices(n, 1)
+        feats = np.hstack([X[ii], X[jj]])
+        prob = model.predict_proba(feats)[:, 1]
+        keep = prob > th
+        return _out(group, _cc_from_edges(n, ii[keep], jj[keep]))
+
+    return combine
+
+
+def make_clustering_algo_combiner(algorithm, *args, **kwargs):
+    """``TFIDFCombinerWithClusteringAlgo`` (``tfidf.py:119-164``): any object
+    factory whose instance has ``fit_predict(dense_matrix) -> labels``
+    clusters each block's TF vectors."""
+
+    def combine(group: pd.DataFrame) -> pd.DataFrame:
+        group = _sorted(group)
+        n = len(group)
+        if n < 2:
+            return _out(group, np.zeros(n, dtype=np.int64))
+        X = _block_vectors(group)
+        labels = np.asarray(
+            algorithm(*args, **kwargs).fit_predict(X), dtype=np.int64
+        )
+        return _out(group, labels)
+
+    return combine
+
+
 # --- registry + runner -----------------------------------------------------
 COMBINERS = {
     "current_production": _current_production,
@@ -251,17 +413,22 @@ COMBINERS = {
     "centroid_incremental": _centroid_incremental,
     "kmeans": _kmeans,
     "fastrp": _fastrp,
+    "tfidf_graph_cosine": _tfidf_graph_cosine,
+    "tfidf_featr_graph_cosine": _tfidf_featr_graph_cosine,
 }
 
 
-def run_combiner(featured_ds, name: str, **kwargs):
-    """groupby(block_key) → per-block combiner → (doc_id, block_key, cluster_id)."""
-    fn = COMBINERS[name]
+def run_combiner(featured_ds, name, **kwargs):
+    """groupby(block_key) → per-block combiner → (doc_id, block_key, cluster_id).
+
+    ``name``: registry key OR a group-callable (e.g. from
+    ``make_model_combiner`` / ``make_clustering_algo_combiner``)."""
+    fn = COMBINERS[name] if isinstance(name, str) else name
 
     def apply(group: pd.DataFrame) -> pd.DataFrame:
         return fn(group, **kwargs) if kwargs else fn(group)
 
-    cols = [S.DOC_ID, S.BLOCK_KEY, "tf_idx", "tf_cnt", *FEATURE_COLS]
+    cols = [S.DOC_ID, S.ENTITY_NAME, S.BLOCK_KEY, "tf_idx", "tf_cnt", *FEATURE_COLS]
     return featured_ds.select_columns(cols).groupby(S.BLOCK_KEY).map_groups(
         apply, batch_format="pandas"
     )

@@ -193,7 +193,9 @@ def split_block_by_country(group: pd.DataFrame) -> pd.DataFrame:
     edges = group.loc[is_edge]
     ids = docs[S.DOC_ID].to_numpy()
     index = {d: i for i, d in enumerate(ids)}
-    countries = [set(c or []) for c in docs["countries"]]
+    countries = [
+        set(c) if c is not None and len(c) else set() for c in docs["countries"]
+    ]
 
     nbrs_of: dict[int, set] = {}
     for s, d in zip(edges["src"], edges["dst"]):

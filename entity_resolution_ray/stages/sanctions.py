@@ -64,6 +64,26 @@ SANCTION_SCHEMA = pa.schema(
                 )
             ),
         ),
+        pa.field(
+            "nationalities",
+            pa.list_(pa.struct([pa.field("country_code", pa.string())])),
+        ),
+        pa.field(
+            "aml_types",
+            pa.list_(pa.struct([pa.field("aml_type", pa.string())])),
+        ),
+        pa.field(
+            "addresses",
+            pa.list_(
+                pa.struct(
+                    [
+                        pa.field("original_address", pa.string()),
+                        pa.field("country", pa.string()),
+                    ]
+                )
+            ),
+        ),
+        pa.field("occupations", pa.list_(pa.string())),
     ]
 )
 
@@ -181,6 +201,260 @@ def sanction_features(ds):
     return ds.map_batches(extract_sanction_features, batch_format="pyarrow")
 
 
+# --- organisation / term / summary extractors ------------------------------
+_SPLIT_RE = re.compile(r"(,|/|\)|\(|\.|-|;|`|')")
+_ORG_ALIAS_STOPWORDS = {"ltd", "llc", "lcc", "inc", "corp", "corporation", "company"}
+_EXCEPTION_CODE = "1001"
+
+_ADDRESS_STOPWORDS = {
+    "city", "country", "street", "road", "avenue", "town", "junction",
+    "alley", "business", "village", "box", "mailbox", "post", "square",
+    "floor", "building", "former", "center", "centre", "central", "park",
+    "branch", "house", "area", "apartment", "flat", "lane", "coast",
+    "suite", "region", "district", "company", "registration", "federation",
+    "republic", "kingdom", "democratic", "highway", "room", "office",
+    "block", "number", "industrial", "united", "island", "islands",
+    "isles", "code",
+}
+
+# JsonSummarizer display-field whitelist (``vectorisation.py:253-324``);
+# trimmed to the titles the synthetic corpus can carry — extend freely
+JSON_SUMMARY_TITLES = {
+    "Amended On", "Designation Act", "Function", "Other Information",
+    "Program", "Related Url", "Designation Date", "Issuing Authority",
+    "Listing Id", "Title", "Listing Origin", "Reason", "Sanction Type",
+    "Additional", "Other Info", "Citizenship", "List Id", "Address",
+    "Identification Number", "List Name", "Enforcement Agency",
+    "Legal Basis", "Position", "Regime", "Removal Date", "Remark", "Role",
+    "Registration Number", "Zip Code", "Height", "National Id",
+    "Description", "Comments", "Source", "Birthplace", "Programme",
+}
+
+
+def _verify_org_code(tok: str) -> str | None:
+    """Registration-number token rule (``organisation_visitors.py:31-37``)."""
+    if len(tok) >= 5 and tok[2:].isnumeric() and not tok.endswith(_EXCEPTION_CODE):
+        return tok
+    return None
+
+
+def _verify_year(tok: str) -> int | None:
+    if len(tok) == 4 and tok.isnumeric():
+        return int(tok)
+    return None
+
+
+def org_alias_keyword_tokens(name: str) -> list[str]:
+    """Org alias → '+'-joined sorted token keys with bracket expansion and
+    a.k.a. splitting (``OrganisationAliasVisitor._convert_to_keyword_tokens``,
+    ``organisation_visitors.py:87-120``)."""
+    from entity_resolution_ray.functions.text import ascii_fold
+
+    out: list[str] = []
+    name = ascii_fold(name).lower()
+    name = re.sub(r"({|\[)", "(", name)
+    name = re.sub(r"(}|])", ")", name)
+    if "(" in name and ")" in name.split("(", 1)[1]:
+        str_inx = name.index("(")
+        end_inx = str_inx + name.split("(", 1)[1].index(")") + 2
+        out += org_alias_keyword_tokens(name[:str_inx] + name[end_inx:])
+    if "a.k.a." in name:
+        inx = name.index("a.k.a.")
+        out += org_alias_keyword_tokens(name[:inx])
+        out += org_alias_keyword_tokens(name[inx + 6:])
+    name = re.sub(r"&", " and ", name)
+    toks = [
+        t for t in _SPLIT_RE.sub(" ", name).split(" ")
+        if t.isnumeric() or (len(t) > 2 and t not in _ORG_ALIAS_STOPWORDS)
+    ]
+    if toks:
+        out.append("+".join(sorted(toks)))
+    return out
+
+
+def _address_tokens(texts: list[str]) -> list[str]:
+    toks: set[str] = set()
+    for address in texts:
+        for t in _SPLIT_RE.sub(" ", address or "").split(" "):
+            tl = t.lower()
+            if (t.isnumeric() or len(t) > 3) and tl not in _ADDRESS_STOPWORDS:
+                toks.add(tl)
+    return sorted(toks)
+
+
+def extract_org_features(batch: pa.Table) -> pa.Table:
+    """Organisation identifiers / alias keys / address features + nationality
+    and aml-type sets + display-field summary + term lift.
+
+    Reference: ``OrganisationIdentifiersVisitor`` / ``OrganisationAliasVisitor``
+    / ``AddressVisitor`` (``organisation_visitors.py:25-277``, translation
+    excluded — network), ``NationalityVisitor`` / ``AmlTypeVisitor``
+    (``common.py:591-630``), ``JsonSummarizer`` (``vectorisation.py:247-339``),
+    ``SanctionTermVisitor`` with ``bypass_translation`` (``sanction_term.py:14-58``).
+    """
+    from entity_resolution_ray.stages.geography import GeoResolver
+
+    resolver = GeoResolver()
+    rows_names = batch["names"].to_pylist()
+    rows_disp = batch["display_fields"].to_pylist()
+    rows_nat = (
+        batch["nationalities"].to_pylist()
+        if "nationalities" in batch.column_names else [None] * len(batch)
+    )
+    rows_aml = (
+        batch["aml_types"].to_pylist()
+        if "aml_types" in batch.column_names else [None] * len(batch)
+    )
+    rows_addr = (
+        batch["addresses"].to_pylist()
+        if "addresses" in batch.column_names else [None] * len(batch)
+    )
+    rows_occ = (
+        batch["occupations"].to_pylist()
+        if "occupations" in batch.column_names else [None] * len(batch)
+    )
+
+    org_ids, desig_years, org_alias_keys = [], [], []
+    nat_codes, amls = [], []
+    addr_tokens, addr_countries = [], []
+    full_texts, sanction_texts = [], []
+
+    for names, disp, nats, aml, addrs, occs in zip(
+        rows_names, rows_disp, rows_nat, rows_aml, rows_addr, rows_occ
+    ):
+        ids: set[str] = set()
+        years: set[int] = set()
+        for item in disp or []:
+            title = item.get("title") or ""
+            value = item.get("value") or ""
+            toks = _SPLIT_RE.sub(" ", value).split(" ")
+            if title == "Registration Number":
+                ids.update(t for t in (_verify_org_code(tk) for tk in toks) if t)
+            elif title == "Designation Date":
+                years.update(y for y in (_verify_year(tk) for tk in toks) if y)
+        org_ids.append(sorted(ids))
+        desig_years.append(sorted(years))
+
+        keys: list[str] = []
+        for item in names or []:
+            keys += org_alias_keyword_tokens(item.get("name") or "")
+        org_alias_keys.append(sorted(set(keys)))
+
+        nat_codes.append(
+            sorted(
+                {
+                    (n.get("country_code") or "").upper()
+                    for n in nats or [] if n.get("country_code")
+                }
+            )
+        )
+        amls.append(
+            sorted({a.get("aml_type") for a in aml or [] if a.get("aml_type")})
+        )
+
+        texts = [a.get("original_address") for a in addrs or [] if a.get("original_address")]
+        texts += [
+            item.get("value") for item in disp or []
+            if (item.get("title") or "").lower() == "address" and item.get("value")
+        ]
+        addr_tokens.append(_address_tokens(texts))
+        countries: set[str] = set()
+        for a in addrs or []:
+            c = a.get("country")
+            if c:
+                res = resolver.resolve(c)
+                if res:
+                    countries.add(res)
+        for t in texts:
+            for part in re.sub(r"(,|\.|:)", ";", t).split(";"):
+                res = resolver.resolve(part.strip())
+                if res:
+                    countries.add(res)
+        addr_countries.append(sorted(countries))
+
+        # JsonSummarizer: whitelist-title values joined with "."
+        full_texts.append(
+            ".".join(
+                item.get("value") or "" for item in disp or []
+                if item.get("title") in JSON_SUMMARY_TITLES
+            )
+        )
+        # FullSanctionTextVectoriser text: every display value + occupations
+        parts = [f"{item.get('value') or ''}." for item in disp or []]
+        parts += [f"{o}." for o in occs or []]
+        sanction_texts.append(" ".join(parts))
+
+    ls = pa.list_(pa.string())
+    out = batch
+    for name, vals, typ in [
+        ("org_ids", org_ids, ls),
+        ("designation_years", desig_years, pa.list_(pa.int64())),
+        ("org_alias_keys", org_alias_keys, ls),
+        ("nationality_codes", nat_codes, ls),
+        ("aml_type_set", amls, ls),
+        ("address_tokens", addr_tokens, ls),
+        ("address_countries", addr_countries, ls),
+        ("full_text_summary", full_texts, pa.string()),
+        ("sanction_text", sanction_texts, pa.string()),
+    ]:
+        out = out.append_column(name, pa.array(vals, typ))
+    return out
+
+
+def org_features(ds):
+    return ds.map_batches(extract_org_features, batch_format="pyarrow")
+
+
+def sanction_terms(ds, titles: list[str]):
+    """SanctionTermVisitor (bypass_translation): lift display fields whose
+    normalized title (``UPPER_WITH_UNDERSCORES``) is requested into one list
+    column per title (``sanction_term.py:14-58``; GoogleTranslator excluded —
+    no network in this engine)."""
+    wanted = {t.upper().replace(" ", "_"): t for t in titles}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        per_title: dict[str, list] = {t: [] for t in wanted}
+        for disp in batch["display_fields"].to_pylist():
+            row: dict[str, list] = {t: [] for t in wanted}
+            for item in disp or []:
+                norm = (item.get("title") or "").replace(" ", "_").upper()
+                if norm in row and item.get("value"):
+                    row[norm].append(item["value"][:2000])
+            for t in wanted:
+                per_title[t].append(sorted(set(row[t])))
+        out = batch
+        for t in wanted:
+            out = out.append_column(
+                f"term_{t.lower()}", pa.array(per_title[t], pa.list_(pa.string()))
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sanction_text_vectors(ds, dim: int = 1 << 18):
+    """FullSanctionTextVectoriser analogue: hashed TF over the display-field
+    + occupations text (``vectorisation.py:69-128``; the pickled-sklearn
+    artifact becomes the deterministic hashing vectorizer, fitted nowhere,
+    loaded once per worker)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.functions.vectorize import HashedVectorizer
+        from entity_resolution_ray.pipelines.er import _worker_singleton
+
+        vec = _worker_singleton(HashedVectorizer, dim=dim)
+        idx_rows, cnt_rows = vec.transform_sparse(batch["sanction_text"].to_pylist())
+        return batch.append_column(
+            "sanction_tf_idx",
+            pa.array([r.tolist() for r in idx_rows], pa.list_(pa.int64())),
+        ).append_column(
+            "sanction_tf_cnt",
+            pa.array([r.tolist() for r in cnt_rows], pa.list_(pa.float32())),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def synth_sanctions(n: int = 200, seed: int = 9) -> pa.Table:
     """Deterministic synthetic sanctions table (nested structs) for tests."""
     rng = np.random.default_rng(seed)
@@ -197,15 +471,35 @@ def synth_sanctions(n: int = 200, seed: int = 9) -> pa.Table:
                           "is_primary": False})
         lo = 1940 + int(rng.integers(60))
         hi = lo + (0 if rng.random() < 0.6 else int(rng.integers(1, 6)))
+        is_org = rng.random() >= 0.8
+        disp = [{"title": "Occupation", "value": "trader"}]
+        if is_org:
+            disp.append(
+                {"title": "Registration Number",
+                 "value": f"RN{10000 + int(rng.integers(90000))}"}
+            )
+            disp.append(
+                {"title": "Designation Date",
+                 "value": f"{1990 + int(rng.integers(30))}-01-01"}
+            )
+        disp.append({"title": "Reason", "value": "listed by authority"})
+        disp.append({"title": "Program", "value": f"program-{int(rng.integers(5))}"})
         rows.append(
             {
                 "sanction_id": f"s{i:05d}",
-                "type": "person" if rng.random() < 0.8 else "organisation",
+                "type": "organisation" if is_org else "person",
                 "names": names,
                 "births": [{"min_year": lo, "max_year": hi}],
                 "locations": [{"country_code": ccs[int(rng.integers(len(ccs)))]}],
                 "passports": [f"p-{int(rng.integers(10**8)):08d}"] if rng.random() < 0.4 else [],
-                "display_fields": [{"title": "Occupation", "value": "trader"}],
+                "display_fields": disp,
+                "nationalities": [{"country_code": ccs[int(rng.integers(len(ccs) - 1))]}],
+                "aml_types": [{"aml_type": "sanction" if rng.random() < 0.7 else "pep"}],
+                "addresses": [
+                    {"original_address": f"{int(rng.integers(200))} Harbor Street, Lisbon",
+                     "country": "Portugal"}
+                ] if rng.random() < 0.5 else [],
+                "occupations": ["trader"] if not is_org else [],
             }
         )
     return pa.Table.from_pylist(rows, schema=SANCTION_SCHEMA)

@@ -38,6 +38,10 @@ class ScoreConfig:
     w_feature: float = 1.0
     w_jw: float = 0.10
     w_media: float = 0.25
+    # weight of the feature-string TF cosine channel (the reference's second
+    # vector space, ``TFIDF_FULL_TEXT_FEATURES``); active when the featured
+    # table carries ftr_idx/ftr_cnt (ERConfig.use_feature_tfidf)
+    w_ftr: float = 0.0
     dob_distance: int = 5
 
 
@@ -122,14 +126,20 @@ class PairScorer:
 
         weight = batch["weight"].to_numpy(dtype=np.float64)
         cosine = batch["cosine"].to_numpy(dtype=np.float64)
+        if "ftr_cos" in batch.columns:
+            ftr_cos = batch["ftr_cos"].to_numpy(dtype=np.float64)
+        else:
+            ftr_cos = np.zeros(n, dtype=np.float64)
         boost = np.clip(weight, 0, cfg.max_energy) / cfg.max_energy
         score = (
             cfg.w_cosine * cosine
             + cfg.w_feature * boost
             + cfg.w_jw * jw
             + cfg.w_media * np.maximum(media_cos, 0.0)
+            + cfg.w_ftr * ftr_cos
         )
         out = batch[["block_key", "src", "dst", "weight", "cosine"]].copy()
+        out["ftr_cos"] = ftr_cos
         out["jw"] = jw
         out["media_cos"] = media_cos
         out["neg_dob"] = neg

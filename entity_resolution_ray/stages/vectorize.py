@@ -83,6 +83,53 @@ class TfVectorizer:
         return out
 
 
+FEATURE_STRING_COLS = ["person_clean", "org", "gpe", "loc"]
+
+
+class FeatureStringVectorizer:
+    """Feature-string TF space (the reference's SECOND vector space).
+
+    ``FullArticleFeaturesTextExtractor`` serializes every extracted feature
+    as ``NAME-value`` joined by ``_-_`` (``am_combiner/features/
+    vectorisation.py:162-181``, ``get_features_from_article``,
+    ``combiners/tfidf.py:98-116``); ``FullArticleFeaturesTextVectoriser``
+    TF-IDFs it with the identity tokenizer (split on ``_-_``,
+    ``tfidf.py:81-95``).  Here each identity token hashes straight into the
+    ``ftr_idx``/``ftr_cnt`` sparse columns; ``feature_text`` keeps the
+    serialized form for parity checks.
+    """
+
+    def __init__(self, dim: int = DEFAULT_DIM, cols: tuple = tuple(FEATURE_STRING_COLS)):
+        self.dim = dim
+        self.cols = list(cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.utils.hashing import hash64_array
+
+        texts, idx_rows, cnt_rows = [], [], []
+        col_vals = {c: batch[c].to_pylist() for c in self.cols if c in batch.column_names}
+        n = len(batch)
+        for i in range(n):
+            tokens = []
+            for c in self.cols:
+                for v in col_vals.get(c, [None] * n)[i] or []:
+                    tokens.append(f"{c}-{v}")
+            texts.append("_-_".join(tokens))
+            if tokens:
+                h = (hash64_array(tokens) % np.uint64(self.dim)).astype(np.int64)
+                uniq, cnt = np.unique(h, return_counts=True)
+                idx_rows.append(uniq.tolist())
+                cnt_rows.append(cnt.astype(np.float32).tolist())
+            else:
+                idx_rows.append([])
+                cnt_rows.append([])
+        return (
+            batch.append_column("feature_text", pa.array(texts, pa.string()))
+            .append_column("ftr_idx", pa.array(idx_rows, pa.list_(pa.int64())))
+            .append_column("ftr_cnt", pa.array(cnt_rows, pa.list_(pa.float32())))
+        )
+
+
 def add_tf_columns(ds, dim: int = DEFAULT_DIM, concurrency=(1, 8), batch_size=1024):
     return ds.map_batches(
         TfVectorizer,
