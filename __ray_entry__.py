@@ -337,6 +337,21 @@ where contains(lower(d.text), k.keyword)
 """
 
 
+def _doc_topics(sf_dir: str):
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.topics import fit_topics, topic_distributions
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=16,
+    )
+    H = fit_topics(ds, n_topics=8, sample=1000, text_col="text")
+    return topic_distributions(ds, H, text_col="text").select_columns(
+        ["doc_id", "topic_id"]
+    )
+
+
 def entry() -> Any:
     """Flagship ER pipeline at smoke scale (Ray already initialised)."""
     return _er_clusters("/root/testdata/sf0.001")
@@ -383,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sanctions_features": _sanctions_features,
         "doc_terms": _doc_terms,
         "doc_keywords": _doc_keywords,
+        "doc_topics": _doc_topics,
     }
 
 

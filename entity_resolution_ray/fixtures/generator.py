@@ -65,20 +65,34 @@ _LAST_ROOTS = [
     "aalto", "bjork", "cedar", "dovre", "elvst", "fjell", "grieg", "halvor",
     "inge", "jens", "kettil", "lofot", "marst", "norda", "oster", "pilk",
 ]
+_LAST_ROOTS += [
+    "alm", "brand", "crone", "dekk", "ehren", "falk", "gran", "hjort",
+    "iver", "juhl", "krog", "lind", "moen", "nyberg", "orre", "pauls",
+    "ravn", "solberg", "tande", "uller", "vang", "wern", "ystad", "zetter",
+    "aker", "birk", "colb", "drev", "eide", "frost", "gjerd", "hamar",
+    "isdal", "jut", "kval", "lokke", "myhr", "nord", "opdahl", "prest",
+]
 _LAST_SUFFIXES = [
     "son", "sen", "berg", "strom", "dahl", "lund", "vik", "gaard",
     "holm", "qvist", "bakke", "haug", "stad", "feldt", "mark", "ness",
-    "gren", "fors", "sjo", "tun",
+    "gren", "fors", "sjo", "tun", "land", "rud", "voll", "heim",
+    "seter", "by", "nes", "as", "dal", "li",
 ]
 LAST_NAMES = LAST_NAMES + [r + s for r in _LAST_ROOTS for s in _LAST_SUFFIXES]
 FIRST_EXT = [
     "oliver", "amelia", "lucas", "sofia", "henrik", "ingrid", "viktor",
     "freya", "magnus", "astrid", "elias", "maja", "noah", "saga", "emil",
     "tuva", "axel", "signe", "felix", "runa",
+    "casper", "liv", "oskar", "thea", "sander", "nora", "jonas", "ida",
+    "mikkel", "selma", "tobias", "alma", "adrian", "hedda", "marius",
+    "sigrid", "sverre", "oda", "trygve", "vilde",
 ]
 FIRST_NAMES = FIRST_NAMES + FIRST_EXT
 
-GENERATOR_VERSION = 4  # bump to invalidate cached fixture dirs on code change
+# capacity: len(FIRST_NAMES)=100 × len(LAST_NAMES)=2440 ≈ 244k distinct
+# names × ~6.6 mentions/name ≈ 1.6M docs — sized for the scaling-efficiency
+# demonstration corpus (BASELINE.md)
+GENERATOR_VERSION = 5  # bump to invalidate cached fixture dirs on code change
 ORG_ADJECTIVES = [
     "Acme", "Borealis", "Cascade", "Dynamo", "Evergreen", "Fairview",
     "Granite", "Horizon", "Ironwood", "Juniper", "Keystone", "Lakeside",

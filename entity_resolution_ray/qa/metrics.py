@@ -122,6 +122,62 @@ def sample_pairs(pairs: pd.DataFrame, rate: float = 0.2, seed: int = 7) -> pd.Da
     return pairs[np.asarray(keep)]
 
 
+def quality_report(per_name_df: pd.DataFrame,
+                   weights_column: str | None = None,
+                   verbose: bool = False) -> dict:
+    """Per-metric (optionally weighted) nan-aware averages over the per-name
+    quality frame — the reference ``QualityControl.clustering_report`` /
+    ``get_average_statistic`` rollup (``am_combiner/qa/quality_control.py:
+    23-85``), rounded to 2 dp."""
+    report: dict = {}
+    for label in per_name_df.columns:
+        if label == weights_column:
+            continue
+        col = per_name_df[label]
+        if not np.issubdtype(col.dtype, np.number):
+            continue
+        use = ~col.isna()
+        if not use.any():
+            continue
+        weights = (
+            per_name_df.loc[use, weights_column].to_numpy()
+            if weights_column else None
+        )
+        val = round(float(np.average(col[use].to_numpy(), weights=weights)), 2)
+        if verbose:
+            print(f"{label}: {val}")
+        report[label] = val
+    return report
+
+
+def calculate_improvements(improvements_against: list[str],
+                           report_frame: pd.DataFrame,
+                           combiners: list[str]) -> list[dict]:
+    """Pairwise metric ratios combiner/reference with the reference's
+    0/0→nan, x/0→inf conventions (``am_combiner/qa/utils.py:56-103``)."""
+    if "all" in improvements_against:
+        improvements_against = combiners
+    out: list[dict] = []
+    for reference in improvements_against:
+        for combiner in combiners:
+            row: dict = {"reference": reference, "combiner": combiner}
+            for col in report_frame.columns:
+                try:
+                    num = report_frame.loc[combiner][col]
+                    den = report_frame.loc[reference][col]
+                    if not num and not den:
+                        frac = math.nan
+                    elif not den:
+                        frac = math.inf
+                    else:
+                        frac = num / den
+                except TypeError:
+                    continue
+                row[col] = round(frac, 2)
+            out.append(row)
+    return out
+
+
 def score_to_minimise(oc_rate, uc_rate, profiles_per_oc, profiles_created,
                       true_profiles) -> float:
     """Reference product score, weights 3.4/8.4/0.4/0.8

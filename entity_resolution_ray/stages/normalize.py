@@ -77,3 +77,83 @@ def derive_from_spans(batch: pa.Table) -> pa.Table:
 def normalize(ds):
     """documents Dataset → + entity_name/content/media_refs (spans preserved)."""
     return ds.map_batches(derive_from_spans, batch_format="pyarrow")
+
+
+# --- input preprocessing (reference ``preprocess_input_dataframe``) ---------
+def normalize_url_column(ds, col: str = "doc_id"):
+    """Rewrite every URL's scheme to ``http`` (``am_combiner/utils/
+    random_data.py:57-59``) — http/https duplicates of a page collapse."""
+    from urllib.parse import urlparse
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vals = [
+            urlparse(u)._replace(scheme="http").geturl() if "://" in (u or "")
+            else (u or "")
+            for u in batch[col].to_pylist()
+        ]
+        i = batch.column_names.index(col)
+        return batch.set_column(i, col, pa.array(vals, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_keep_min(ds, key_col: str, order_col: str, num_buckets: int = 64):
+    """One row per key, keeping the min ``order_col`` row — the distributed
+    form of ``drop_duplicates(keep='first')`` with a deterministic order
+    (the reference relies on input order; a Dataset has none)."""
+    import pandas as pd
+
+    from entity_resolution_ray.stages.blocking import _add_bucket
+
+    bucketed = ds.map_batches(
+        lambda b: _add_bucket(b, [key_col], num_buckets), batch_format="pandas"
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, order_col], kind="mergesort")
+        return g.drop_duplicates(key_col).drop(columns="__bucket")
+
+    return bucketed.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def filter_name_in_content(ds, name_col: str = S.ENTITY_NAME,
+                           content_col: str = S.CONTENT):
+    """Keep docs whose entity name appears in the text (reference
+    ``has_entity_mask``, ``utils/random_data.py:61-65``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        names = batch[name_col].to_pylist()
+        texts = batch[content_col].to_pylist()
+        mask = pa.array(
+            [bool(n) and (n in (t or "")) for n, t in zip(names, texts)]
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def max_names_filter(ds, max_names: int, name_col: str = S.ENTITY_NAME):
+    """Truncate to the first ``max_names`` distinct names (``utils/
+    data.py:191-195``).  The reference takes input order; here the ordering
+    is the deterministic sorted order of the name strings, and the bounded
+    name set (≤ max_names rows) broadcasts for the membership filter."""
+    import ray
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+
+    names = grouped_aggregate(
+        ds.select_columns([name_col]), name_col, {"n": (name_col, "size")}
+    )
+    keep = (
+        names.sort(name_col).limit(max_names).to_pandas()[name_col].tolist()
+    )
+    ref = ray.put(frozenset(keep))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.stages.blocking import fetch_broadcast
+
+        k = fetch_broadcast(ref)
+        mask = pa.array([n in k for n in batch[name_col].to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -112,6 +112,77 @@ def article_keywords(ds, keywords: list[str], text_col: str = "content",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+# public-knowledge occupation lexicon (reference ships occupations.csv)
+DEFAULT_OCCUPATIONS = [
+    "trader", "banker", "lawyer", "doctor", "engineer", "journalist",
+    "politician", "minister", "director", "manager", "teacher", "professor",
+    "consultant", "accountant", "architect", "economist", "diplomat",
+    "scientist", "analyst", "broker", "investor", "executive", "officer",
+    "chairman", "president", "senator", "judge", "prosecutor", "general",
+    "colonel", "ambassador", "governor", "mayor", "farmer", "merchant",
+]
+
+
+def profession_column(ds, occupations: list[str] | None = None,
+                      name_col: str = "entity_name", text_col: str = "content",
+                      window: int = 12, out_col: str = "professions"):
+    """Occupation extraction near the entity name.
+
+    Reference ``ProfessionVisitor`` (``am_combiner/features/profession.py``)
+    matches NSUBJ/APPOS dependency patterns against an occupation CSV; spaCy
+    is unavailable here, so the documented stand-in is lexicon matching
+    within a ±``window``-token neighborhood of any name occurrence — the
+    same output column, a weaker pattern."""
+    import ray
+
+    occ = ray.put(frozenset((occupations or DEFAULT_OCCUPATIONS)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.stages.blocking import fetch_broadcast
+
+        lex = fetch_broadcast(occ)
+        out = []
+        for name, text in zip(batch[name_col].to_pylist(),
+                              batch[text_col].to_pylist()):
+            toks = _TOKEN_RE.findall((text or "").lower())
+            name_toks = set(_TOKEN_RE.findall((name or "").lower()))
+            hits: set[str] = set()
+            for i, t in enumerate(toks):
+                if t in name_toks:
+                    lo, hi = max(0, i - window), min(len(toks), i + window + 1)
+                    hits.update(w for w in toks[lo:hi] if w in lex)
+            out.append(sorted(hits))
+        return batch.append_column(out_col, pa.array(out, pa.list_(pa.string())))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def graph_data(ds, feature_cols: list[str], id_col: str = "doc_id"):
+    """Per-article viz graph as an edge-list table (doc → feature value),
+    deduplicated — ``GraphDataVisitor`` (``am_combiner/features/
+    graph_data.py:8-123``) emitted {nodes, links} dicts; the Dataset-native
+    form is one (doc_id, node, feature) row per link."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_out, nodes, feats = [], [], []
+        ids = batch[id_col].to_pylist()
+        for col in feature_cols:
+            for d, vals in zip(ids, batch[col].to_pylist()):
+                for v in dict.fromkeys(vals or []):  # per-doc dedup, ordered
+                    ids_out.append(d)
+                    nodes.append(str(v))
+                    feats.append(col)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out, pa.string()),
+                "node": pa.array(nodes, pa.string()),
+                "feature": pa.array(feats, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def meta_key_column(ds, key: str, out_col: str, meta_col: str = "meta"):
     """Lift one metadata key into a (possibly empty) single-value list
     column — ``MetaKeyVisitor`` over a ``map``/``struct`` metadata column."""

@@ -26,9 +26,9 @@ def test_generator_deterministic(fixture_1k):
         manifest = json.load(f)
     # pinned hashes: the generator is a pure function of the seed
     assert manifest["n_docs"] == 1000
-    assert manifest["hashes"]["documents"] == "d68a744de222de7b"
-    assert manifest["hashes"]["ground_truth"] == "0f6d7d582cd5f42d"
-    assert manifest["hashes"]["labeled_pairs"] == "2acd684c77c54bad"
+    assert manifest["hashes"]["documents"] == "771455338cb9a0c5"
+    assert manifest["hashes"]["ground_truth"] == "d46acd163ae27628"
+    assert manifest["hashes"]["labeled_pairs"] == "a65670d695f4d84e"
 
 
 def test_normalize_derives_and_preserves_spans(fixture_1k):
