@@ -34,6 +34,7 @@ class ERConfig:
     tf_dim: int = 1 << 18
     cc_mode: str = "labelprop"  # or "local"
     use_idf: bool = True
+    salt_threshold: int = 2000
     # second vector space: feature-string TF cosine channel (reference
     # ``FullArticleFeaturesTextVectoriser``); pairs gain a ftr_cos column
     # and the score adds ScoreConfig.w_ftr × ftr_cos
@@ -47,7 +48,7 @@ class ERConfig:
     use_actor_pools: bool = False
     # single-file fixtures read as one block; spread them so the feature
     # stages parallelize (real 100TB inputs arrive pre-sharded)
-    min_read_partitions: int = 64
+    min_read_partitions: int = 128
 
 
 def read_documents(path: str, min_partitions: int = 64):
@@ -158,17 +159,27 @@ def featured_documents(docs_ds, cfg: ERConfig | None = None):
 def scored_pairs(featured_ds, cfg: ERConfig | None = None):
     """featured docs → scored candidate-pair (edge) table."""
     cfg = cfg or ERConfig()
-    # one pass over the (checkpointable) featured table yields BOTH the IDF
-    # document-frequency vector and the hot-block census — the partials are
-    # fixed-size / #distinct-keys-sized, not data-sized driver state
-    from entity_resolution_ray.stages.vectorize import fit_idf_and_census
+    # two bounded passes over the materialized featured table: the IDF fold
+    # (one fixed-size blob per batch) and the hot-block census (bucketed
+    # groupby, only keys over the salt threshold reach the driver) — driver
+    # state stays corpus-size-independent
+    from entity_resolution_ray.stages.blocking import hot_block_sizes
+    from entity_resolution_ray.stages.vectorize import fit_idf
 
-    idf, block_sizes = fit_idf_and_census(featured_ds, dim=cfg.tf_dim)
+    idf = (
+        fit_idf(featured_ds.select_columns(["tf_idx"]), dim=cfg.tf_dim)
+        if cfg.use_idf else None
+    )
+    block_sizes = hot_block_sizes(
+        featured_ds.select_columns([S.BLOCK_KEY]), S.BLOCK_KEY,
+        cfg.salt_threshold,
+    )
     idf_ref = broadcast_idf(idf) if cfg.use_idf else None
     pairs = block_candidate_pairs(
         featured_ds,
         idf_ref=idf_ref,
         block_sizes=block_sizes,
+        salt_threshold=cfg.salt_threshold,
         all_pairs_cap=cfg.all_pairs_cap,
         posting_cap=cfg.posting_cap,
         tf_dim=cfg.tf_dim,
@@ -214,7 +225,12 @@ def cluster_documents(docs_path: str, cfg: ERConfig | None = None):
         t0 = time.time()
 
     cfg = cfg or ERConfig()
-    docs = read_documents(docs_path)
+    # NB: Ray's sort-shuffle partitioning follows the input block count, so
+    # this knob also sets downstream groupby task granularity.  ~128 blocks
+    # measured best at 32 CPUs / 1.2M docs — more partitions (256+) blow up
+    # shuffle fragment-transfer counts and cost far more than the straggler
+    # smoothing they buy
+    docs = read_documents(docs_path, min_partitions=cfg.min_read_partitions)
     featured = featured_documents(docs, cfg)
     # featured is consumed by three downstream passes (idf fit, pair-gen,
     # cluster attach) — materialize once instead of recomputing the tagger

@@ -272,9 +272,39 @@ class BlockPairGenerator:
         )
 
 
+def hot_block_sizes(keys_ds, key_col: str, threshold: int,
+                    num_buckets: int = 64) -> pd.Series:
+    """key → total count, restricted to keys with count > threshold.
+
+    Per-batch ``value_counts`` partials (distinct-keys-sized) → one bucketed
+    groupby-sum → threshold filter, so only the hot tail reaches the driver.
+    """
+    def census_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch[key_col])
+        return pa.table({"key": vc.field("values"), "n": vc.field("counts")})
+
+    parts = keys_ds.map_batches(census_partial, batch_format="pyarrow")
+    bucketed = parts.map_batches(
+        lambda b: _add_bucket(b, ["key"], num_buckets), batch_format="pandas"
+    )
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.groupby("key", sort=False)["n"].sum().reset_index()
+        return out[out["n"] > threshold]
+
+    hot = bucketed.groupby("__bucket").map_groups(fold, batch_format="pandas")
+    df = hot.to_pandas()
+    if len(df) == 0:
+        return pd.Series(dtype=np.int64)
+    return df.set_index("key")["n"]
+
+
 def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
                           shard_size: int = 800, stitch_reps: int = 96,
-                          block_sizes=None, **gen_kwargs):
+                          block_sizes=None, num_buckets: int | None = None,
+                          **gen_kwargs):
     """groupby(block_key) → per-block candidate pairs with cosine + weights.
 
     Hot-block salting (north rule): a block-size census finds blocks larger
@@ -312,33 +342,32 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
 
     narrow = featured_ds.select_columns(payload_cols)
 
-    # hot-key census without a shuffle: per-batch value counts, summed on the
-    # driver (partials are #distinct-keys-sized, not data-sized).  Callers
-    # that already ran a census pass (fit_idf_and_census) hand it in.
+    # hot-key census: per-batch value counts pre-aggregate, then a bucketed
+    # groupby over the (distinct-keys-sized) partials, filtered to keys over
+    # the salt threshold BEFORE the driver sees anything — driver state is
+    # #hot-keys-sized at any corpus size.  Callers that already ran the
+    # census hand it in.
     if block_sizes is not None:
         sizes = block_sizes
     else:
-        def census_partial(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            vc = pc.value_counts(batch[S.BLOCK_KEY])
-            return pa.table(
-                {"key": vc.field("values"), "n": vc.field("counts")}
-            )
-
-        parts = (
-            narrow.select_columns([S.BLOCK_KEY])
-            .map_batches(census_partial, batch_format="pyarrow")
-            .to_pandas()
+        sizes = hot_block_sizes(
+            narrow.select_columns([S.BLOCK_KEY]), S.BLOCK_KEY, salt_threshold
         )
-        sizes = parts.groupby("key", sort=False)["n"].sum()
     hot = {
         k: int(np.ceil(n / shard_size))
         for k, n in sizes.items()
         if n > salt_threshold
     }
 
-    num_buckets = 64
+    # one ray task per BUCKET of block keys: size the bucket count to ~8
+    # tasks per CPU so skewed buckets (hot-block shards) don't become the
+    # critical path at high parallelism — 64 buckets measured 1.56× for
+    # 8→32 CPUs at 1.2M docs; 8×CPUs restores near-linear task granularity
+    if num_buckets is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        num_buckets = max(64, 8 * cpus)
 
     def _key_buckets(keys: list[str]) -> np.ndarray:
         h = pd.util.hash_pandas_object(pd.Series(keys), index=False).to_numpy()
@@ -420,7 +449,8 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
         lambda b: split(b, True), batch_format="pandas"
     )
     bucketed = hot_pairs.map_batches(
-        lambda b: _add_bucket(b, ["src", "dst"], 64), batch_format="pandas"
+        lambda b: _add_bucket(b, ["src", "dst"], num_buckets),
+        batch_format="pandas",
     )
 
     def dedup_max_weight(group: pd.DataFrame) -> pd.DataFrame:

@@ -34,7 +34,6 @@ import pandas as pd
 import pyarrow as pa
 
 from entity_resolution_ray.functions.minhash import (
-    band_keys,
     hamming_distance64,
     minhash_signatures_batch,
     simhash_batch,
@@ -66,7 +65,15 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 # --- MinHash-LSH ----------------------------------------------------------
 class MinHashSigner:
-    """Actor stage: text → minhash signature + LSH band-key rows."""
+    """Actor stage: text → minhash signature + LSH band-key rows.
+
+    Band keys are mixed down to int64 (uint64 golden-ratio fold of the
+    band's signature slice) instead of byte strings: the downstream bucket
+    shuffle and per-bucket groupby run on primitive ints, and a fold
+    collision can only ADD a candidate pair, which the exact verify filters.
+    """
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
     def __init__(self, num_perm: int = 128, num_bands: int = 32, ngram: int = 3):
         self.num_perm = num_perm
@@ -74,21 +81,22 @@ class MinHashSigner:
         self.ngram = ngram
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=object)
         sigs = minhash_signatures_batch(
             batch["text"].to_pylist(), self.num_perm, self.ngram
         )
-        out_ids, out_band, out_key = [], [], []
-        for i, doc in enumerate(ids):
-            for b, key in enumerate(band_keys(sigs[i], self.num_bands)):
-                out_ids.append(doc)
-                out_band.append(b)
-                out_key.append(key)
+        n = len(ids)
+        b = self.num_bands
+        r = max(1, sigs.shape[1] // b)
+        sl = sigs[:, : b * r].reshape(n, b, r)
+        key = np.zeros((n, b), dtype=np.uint64)
+        for k in range(r):  # uint64 wraparound is the intended mixing
+            key = key * self._GOLD + sl[:, :, k]
         return pa.table(
             {
-                "doc_id": pa.array(out_ids),
-                "band": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.binary()),
+                "doc_id": pa.array(np.repeat(ids, b)),
+                "band": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
+                "band_key": pa.array(key.reshape(-1).view(np.int64)),
             }
         )
 

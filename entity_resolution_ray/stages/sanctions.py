@@ -432,6 +432,40 @@ def sanction_terms(ds, titles: list[str]):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def sanction_term_tagger(ds, source_cols: list[str],
+                         prefix: str = "term_tagged_"):
+    """``SanctionTermSpacyVisitor`` (``sanction_term.py:61-81``): run the NER
+    tagger over the ", "-joined values of each source feature column and
+    lift the tags into ``{prefix}{person|org|gpe|loc}`` columns.  The spaCy
+    pipeline becomes the deterministic regex/gazetteer tagger this engine
+    uses throughout (held once per worker — actor-``__init__`` pattern)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.pipelines.er import _worker_singleton
+        from entity_resolution_ray.stages.features import FeatureTagger
+
+        tagger = _worker_singleton(FeatureTagger)
+        per_kind: dict[str, list] = {k: [] for k in ("person", "org", "gpe", "loc")}
+        cols = {c: batch[c].to_pylist() for c in source_cols}
+        for i in range(len(batch)):
+            joined = ", ".join(
+                str(v) for c in source_cols for v in (cols[c][i] or [])
+            )
+            tags = tagger._tag_one(joined, "")
+            per_kind["person"].append(tags["person_clean"])
+            per_kind["org"].append(tags["org"])
+            per_kind["gpe"].append(tags["gpe"])
+            per_kind["loc"].append(tags["loc"])
+        out = batch
+        for k, vals in per_kind.items():
+            out = out.append_column(
+                f"{prefix}{k}", pa.array(vals, pa.list_(pa.string()))
+            )
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def sanction_text_vectors(ds, dim: int = 1 << 18):
     """FullSanctionTextVectoriser analogue: hashed TF over the display-field
     + occupations text (``vectorisation.py:69-128``; the pickled-sklearn

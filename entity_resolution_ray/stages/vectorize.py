@@ -157,8 +157,8 @@ def _df_partial(batch: pa.Table, dim: int) -> pa.Table:
 def fit_idf(ds_with_tf, dim: int = DEFAULT_DIM) -> np.ndarray:
     """Distributed document-frequency → smooth-idf fit over tf_idx columns."""
     partials = ds_with_tf.map_batches(
-        lambda b: _df_partial(b, dim), batch_format="pyarrow", batch_size=4096
-    ).take_all()  # one small row per batch
+        lambda b: _df_partial(b, dim), batch_format="pyarrow", batch_size=16384
+    ).take_all()  # one fixed-size (~1 MB) row per batch
     df = np.zeros(dim, dtype=np.float64)
     n = 0
     for row in partials:

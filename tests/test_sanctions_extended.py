@@ -96,3 +96,22 @@ def test_sanction_terms_and_vectors(ray_session):
     a, b = vec.iloc[0], vec.iloc[1]
     if a["sanction_text"] == b["sanction_text"]:
         assert list(a["sanction_tf_idx"]) == list(b["sanction_tf_idx"])
+
+
+def test_sanction_term_tagger(ray_session):
+    import pandas as pd
+
+    from entity_resolution_ray.stages.sanctions import sanction_term_tagger
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "sanction_id": ["s1"],
+                "term_reason": [["Maria Silva met in France near the Nile River"]],
+            }
+        )
+    )
+    out = sanction_term_tagger(ds, ["term_reason"]).to_pandas().iloc[0]
+    assert "maria silva" in out["term_tagged_person"]
+    assert out["term_tagged_gpe"] == ["france"]
+    assert out["term_tagged_loc"] == ["nile river"]
