@@ -177,50 +177,60 @@ class BlockPairGenerator:
             self._idf = fetch_broadcast(self.idf_ref)
         return self._idf
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(S.DOC_ID, kind="mergesort").reset_index(drop=True)
-        n = len(group)
-        empty = {
-            S.BLOCK_KEY: [], "src": [], "dst": [], "weight": [],
-            "cosine": [], "ftr_cos": [], "media_cos": [], "neg_dob": [],
-            "src_name": [], "dst_name": [],
-        }
+    EMPTY = {
+        S.BLOCK_KEY: [], "src": [], "dst": [], "weight": [],
+        "cosine": [], "ftr_cos": [], "media_cos": [], "neg_dob": [],
+        "src_name": [], "dst_name": [],
+    }
+
+    def pairs_for_slice(self, cols: dict, s: int, e: int,
+                        salted: bool) -> dict | None:
+        """One block's candidate pairs as a dict of numpy arrays.
+
+        ``cols`` holds the whole BUCKET's columns as numpy arrays, pre-sorted
+        by (salt_key, doc_id); the block is rows [s:e).  Array-level slicing
+        keeps the per-block cost free of pandas frame construction — the
+        per-block pandas tax measured ~60% of the stage at ~90-pair blocks.
+        """
+        n = e - s
         if n < 2:
-            return pd.DataFrame(empty)
+            return None
 
         postings: list[np.ndarray] = []
         for col in FEATURE_COLS:
-            postings.extend(_block_postings(list(group[col]), self.posting_cap))
+            postings.extend(
+                _block_postings(list(cols[col][s:e]), self.posting_cap)
+            )
         fi, fj, fw = _posting_pairs(n, postings, self.inverse_degree)
 
         # salted shard/stitch groups of a hot block skip the dense all-pairs
         # base — a hot block's N² is exactly what the salting defuses
-        is_salted = (
-            "salt_key" in group.columns and "#" in str(group["salt_key"].iloc[0])
-        )
-        if n <= self.all_pairs_cap and not is_salted:
+        if n <= self.all_pairs_cap and not salted:
             ai, aj = np.triu_indices(n, 1)
-            base = np.zeros(len(ai), dtype=np.float64)
             codes_f = fi * n + fj
             codes_a = ai.astype(np.int64) * n + aj
             wmap = np.zeros(n * n, dtype=np.float64)
             wmap[codes_f] = fw
-            i_idx, j_idx, w = ai, aj, base + wmap[codes_a]
+            i_idx, j_idx, w = ai, aj, wmap[codes_a]
         else:
             i_idx, j_idx, w = fi, fj, fw
 
         if len(i_idx) == 0:
-            return pd.DataFrame(empty)
+            return None
 
         # within-block TF-IDF cosine (vectors co-located with the group)
         idf = self._get_idf()
-        X = _local_tf_matrix(list(group["tf_idx"]), list(group["tf_cnt"]), idf)
+        X = _local_tf_matrix(
+            list(cols["tf_idx"][s:e]), list(cols["tf_cnt"][s:e]), idf
+        )
         cos = _pairwise_cosine(X, i_idx, j_idx)
 
         # optional second vector space: feature-string TF (identity-token
         # hashed, reference ``TFIDF_FULL_TEXT_FEATURES``)
-        if "ftr_idx" in group.columns:
-            Xf = _local_tf_matrix(list(group["ftr_idx"]), list(group["ftr_cnt"]), None)
+        if "ftr_idx" in cols:
+            Xf = _local_tf_matrix(
+                list(cols["ftr_idx"][s:e]), list(cols["ftr_cnt"][s:e]), None
+            )
             ftr_cos = _pairwise_cosine(Xf, i_idx, j_idx)
         else:
             ftr_cos = np.zeros(len(i_idx), dtype=np.float64)
@@ -231,7 +241,7 @@ class BlockPairGenerator:
 
         M = np.zeros((n, MEDIA_EMBED_DIM), dtype=np.float64)
         has_media = np.zeros(n, dtype=bool)
-        for r, mv in enumerate(group["media_vec"]):
+        for r, mv in enumerate(cols["media_vec"][s:e]):
             if mv is not None and len(mv) == MEDIA_EMBED_DIM:
                 M[r] = mv
                 has_media[r] = True
@@ -241,7 +251,7 @@ class BlockPairGenerator:
         # DOB negative evidence (reference numeric-distance rule), vectorized
         dob_min = np.full(n, np.nan)
         dob_max = np.full(n, np.nan)
-        for r, years in enumerate(group["dob_years"]):
+        for r, years in enumerate(cols["dob_years"][s:e]):
             if years is not None and len(years):
                 dob_min[r] = min(years)
                 dob_max[r] = max(years)
@@ -254,22 +264,30 @@ class BlockPairGenerator:
             neg = (hi_min - lo_max) > self.dob_distance
         neg &= ~np.isnan(a_min) & ~np.isnan(b_min)
 
-        ids = group[S.DOC_ID].to_numpy()
-        names = group[S.ENTITY_NAME].to_numpy()
-        return pd.DataFrame(
-            {
-                S.BLOCK_KEY: np.repeat(group[S.BLOCK_KEY].iloc[0], len(i_idx)),
-                "src": ids[i_idx],
-                "dst": ids[j_idx],
-                "weight": w,
-                "cosine": cos,
-                "ftr_cos": ftr_cos,
-                "media_cos": media_cos,
-                "neg_dob": neg,
-                "src_name": names[i_idx],
-                "dst_name": names[j_idx],
-            }
+        ids = cols[S.DOC_ID][s:e]
+        names = cols[S.ENTITY_NAME][s:e]
+        return {
+            S.BLOCK_KEY: np.repeat(cols[S.BLOCK_KEY][s], len(i_idx)),
+            "src": ids[i_idx],
+            "dst": ids[j_idx],
+            "weight": w,
+            "cosine": cos,
+            "ftr_cos": ftr_cos,
+            "media_cos": media_cos,
+            "neg_dob": neg,
+            "src_name": names[i_idx],
+            "dst_name": names[j_idx],
+        }
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        """Single-block DataFrame API (tests / ad-hoc use)."""
+        group = group.sort_values(S.DOC_ID, kind="mergesort").reset_index(drop=True)
+        cols = {c: group[c].to_numpy() for c in group.columns}
+        salted = "salt_key" in group.columns and len(group) > 0 and (
+            "#" in str(group["salt_key"].iloc[0])
         )
+        d = self.pairs_for_slice(cols, 0, len(group), salted)
+        return pd.DataFrame(d if d is not None else self.EMPTY)
 
 
 def hot_block_sizes(keys_ds, key_col: str, threshold: int,
@@ -327,18 +345,32 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
         payload_cols += ["ftr_idx", "ftr_cnt"]
 
     def generate_pairs(bucket_group: pd.DataFrame) -> pd.DataFrame:
-        # one ray-level group per hash BUCKET of block keys; the per-block
-        # loop runs in pandas inside (a ray group per block pays a
-        # per-group block-format conversion — measured dominant at ~30k
-        # blocks)
+        # one ray-level group per hash BUCKET of block keys.  The bucket is
+        # sorted ONCE by (salt_key, doc_id), columns extracted ONCE to numpy,
+        # and blocks processed as array slices — per-block pandas frame
+        # construction measured ~60% of this stage's CPU at typical block
+        # sizes
+        if len(bucket_group) == 0:
+            return pd.DataFrame(BlockPairGenerator.EMPTY)
+        g = bucket_group.sort_values(
+            ["salt_key", S.DOC_ID], kind="mergesort"
+        ).reset_index(drop=True)
+        cols = {c: g[c].to_numpy() for c in g.columns}
+        sk = cols["salt_key"]
+        change = np.flatnonzero(sk[1:] != sk[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
         outs = []
-        for _, g in bucket_group.groupby("salt_key", sort=False):
-            p = gen(g)
-            if len(p):
-                outs.append(p)
+        for s, e in zip(starts, ends):
+            d = gen.pairs_for_slice(cols, int(s), int(e), "#" in sk[s])
+            if d is not None:
+                outs.append(d)
         if not outs:
-            return gen(bucket_group.iloc[:0])
-        return pd.concat(outs, ignore_index=True)
+            return pd.DataFrame(BlockPairGenerator.EMPTY)
+        merged = {
+            k: np.concatenate([o[k] for o in outs]) for k in outs[0]
+        }
+        return pd.DataFrame(merged)
 
     narrow = featured_ds.select_columns(payload_cols)
 
