@@ -337,6 +337,43 @@ where contains(lower(d.text), k.keyword)
 """
 
 
+def _er_clusters_split(sf_dir: str):
+    """Flagship clusters re-split by DOB negative evidence: the full
+    distributed splitter path (cluster-keyed cogroup of docs with their
+    accepted pairs, then per-cluster delete-negative-edges re-CC)."""
+    import os
+
+    from entity_resolution_ray.pipelines.er import (
+        ERConfig,
+        featured_documents,
+        read_documents,
+        scored_pairs,
+    )
+    from entity_resolution_ray.stages.clustering import assign_clusters
+    from entity_resolution_ray.stages.splitting import (
+        attach_cluster_pairs,
+        split_clusters,
+    )
+
+    fx = _er_corpus(sf_dir)
+    cfg = ERConfig()
+    featured = featured_documents(
+        read_documents(os.path.join(fx, "documents.parquet")), cfg
+    ).materialize()
+    edges = scored_pairs(featured, cfg).materialize()
+    accepted = edges.map_batches(
+        lambda t: t.select(["src", "dst", "weight", "block_key"]).filter(t["accepted"]),
+        batch_format="pyarrow",
+    )
+    clustered = assign_clusters(
+        featured.select_columns(["doc_id", "block_key", "dob_years"]),
+        accepted, n_edges_hint=edges.count(),
+    )
+    with_pairs = attach_cluster_pairs(clustered, accepted)
+    return split_clusters(with_pairs, negator_col="dob_years", distance=5,
+                          mode="delete")
+
+
 def _doc_topics(sf_dir: str):
     import ray.data as rd
 
@@ -394,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_combiner_model": _er_combiner_model,
         "er_blocks_phonetic": _er_blocks_phonetic,
         "er_blocks_country": _er_blocks_country,
+        "er_clusters_split": _er_clusters_split,
         "er_blocks_cutoff": _er_blocks_cutoff,
         "sanctions_features": _sanctions_features,
         "doc_terms": _doc_terms,

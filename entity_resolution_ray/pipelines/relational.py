@@ -116,24 +116,23 @@ def q_segment_revenue(sf_dir: str):
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
 
-    j1 = hash_join(li, orders, on="o_orderkey")
+    # pre-aggregate revenue per order BEFORE the join: the partial/combiner
+    # shape — the join's left side shrinks from #lineitems to #orders
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+
+    per_order = grouped_aggregate(
+        li, "o_orderkey", {"order_rev": ("revenue", "sum")}
+    )
+    j1 = hash_join(per_order, orders, on="o_orderkey")
     j1 = j1.map_batches(
         lambda t: pa.table(
-            {"c_custkey": t["o_custkey"], "o_orderkey": t["o_orderkey"],
-             "revenue": t["revenue"]}
+            {"c_custkey": t["o_custkey"], "order_rev": t["order_rev"]}
         ),
         batch_format="pyarrow",
     )
     # customer is the small side → broadcast map-join
     j2 = broadcast_join(j1, cust.to_pandas(), on="c_custkey", how="inner")
-
-    # per-order rollup is data-proportional cardinality → bucketized pandas
-    from entity_resolution_ray.stages.aggregate import grouped_aggregate
-
-    per_order = grouped_aggregate(
-        j2, ["c_mktsegment", "o_orderkey"], {"order_rev": ("revenue", "sum")}
-    )
-    out = per_order.groupby("c_mktsegment").aggregate(
+    out = j2.groupby("c_mktsegment").aggregate(
         Sum("order_rev", alias_name="revenue"),
         Count(alias_name="n_orders"),
     )

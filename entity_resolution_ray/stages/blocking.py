@@ -308,9 +308,15 @@ def hot_block_sizes(keys_ds, key_col: str, threshold: int,
         lambda b: _add_bucket(b, ["key"], num_buckets), batch_format="pandas"
     )
 
-    def fold(group: pd.DataFrame) -> pd.DataFrame:
+    def fold(group: pd.DataFrame) -> pa.Table:
         out = group.groupby("key", sort=False)["n"].sum().reset_index()
-        return out[out["n"] > threshold]
+        out = out[out["n"] > threshold]
+        # typed arrow out: empty object-dtype pandas frames trip Ray's
+        # block-size estimator into noisy per-block warnings
+        return pa.table(
+            {"key": pa.array(out["key"], pa.string()),
+             "n": pa.array(out["n"], pa.int64())}
+        )
 
     hot = bucketed.groupby("__bucket").map_groups(fold, batch_format="pandas")
     df = hot.to_pandas()

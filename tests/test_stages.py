@@ -107,3 +107,45 @@ def test_broadcast_join_matches_pandas():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["k", "a", "b"]], want)
+
+
+def test_attach_labels_join_path_matches_broadcast(ray_session):
+    """The partitioned cogroup join (engaged above broadcast_cap) must
+    produce the same cluster ids as the bounded broadcast path."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.clustering import assign_clusters
+
+    docs = pd.DataFrame({"doc_id": [f"d{i}" for i in range(40)]})
+    edges = pd.DataFrame(
+        {"src": [f"d{i}" for i in range(0, 30, 2)],
+         "dst": [f"d{i+1}" for i in range(0, 30, 2)]}
+    )
+    a = assign_clusters(
+        rd.from_pandas(docs), rd.from_pandas(edges), broadcast_cap=0
+    ).to_pandas()
+    b = assign_clusters(
+        rd.from_pandas(docs), rd.from_pandas(edges), broadcast_cap=10**9
+    ).to_pandas()
+    ma = dict(zip(a["doc_id"], a["cluster_id"]))
+    mb = dict(zip(b["doc_id"], b["cluster_id"]))
+    assert ma == mb
+    # paired docs share ids; singletons are alone
+    assert ma["d0"] == ma["d1"] and ma["d0"] != ma["d2"]
+    assert len({ma[f"d{i}"] for i in range(30, 40)}) == 10
+
+
+def test_anti_join(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.blockers import anti_join
+
+    left = pd.DataFrame({"doc_id": ["a", "b", "c", "d"], "x": [1, 2, 3, 4]})
+    right = pd.DataFrame({"doc_id": ["b", "d", "zz"]})
+    out = anti_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="doc_id"
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == ["a", "c"]
+    assert sorted(out.columns) == ["doc_id", "x"]
