@@ -169,48 +169,3 @@ def fit_idf(ds_with_tf, dim: int = DEFAULT_DIM) -> np.ndarray:
 
 def broadcast_idf(idf: np.ndarray) -> "ray.ObjectRef":
     return ray.put(idf)
-
-
-def fit_idf_and_census(ds_with_tf, dim: int = DEFAULT_DIM,
-                       block_col: str = "block_key"):
-    """One pass → (idf vector, per-block-key row counts as a pandas Series).
-
-    Each batch emits one document-frequency partial row plus its block-key
-    value counts; the driver folds them.  Saves a second full pass vs
-    running ``fit_idf`` and a census separately.
-    """
-    import pandas as pd
-    import pyarrow.compute as pc
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = np.zeros(dim, dtype=np.float32)
-        tf_idx = batch["tf_idx"]
-        if isinstance(tf_idx, pa.ChunkedArray):
-            tf_idx = tf_idx.combine_chunks()
-        flat = pc.list_flatten(tf_idx).to_numpy(zero_copy_only=False)
-        np.add.at(df, flat, 1.0)
-        vc = pc.value_counts(batch[block_col])
-        keys = vc.field("values").to_pylist()
-        counts = vc.field("counts").to_pylist()
-        n = len(keys)
-        return pa.table(
-            {
-                "df_blob": pa.array([df.tobytes()] + [None] * n, pa.binary()),
-                "n_docs": pa.array([len(batch)] + [0] * n, pa.int64()),
-                "key": pa.array([None] + keys, pa.string()),
-                "cnt": pa.array([0] + counts, pa.int64()),
-            }
-        )
-
-    parts = ds_with_tf.select_columns(["tf_idx", block_col]).map_batches(
-        partial, batch_format="pyarrow", batch_size=8192
-    ).to_pandas()
-    df = np.zeros(dim, dtype=np.float64)
-    n = 0
-    blob_rows = parts[parts["df_blob"].notna()]
-    for blob, nd in zip(blob_rows["df_blob"], blob_rows["n_docs"]):
-        df += np.frombuffer(blob, dtype=np.float32)
-        n += nd
-    key_rows = parts[parts["key"].notna()]
-    sizes = key_rows.groupby("key", sort=False)["cnt"].sum()
-    return smooth_idf(df, max(n, 1)), sizes
