@@ -152,3 +152,54 @@ def test_lsh_topk_recall_vs_brute_force(sf_dir):
     # the testdata embeddings are near-random (max pairwise cos ~0.5), the
     # hardest case for hyperplane LSH; bound is accordingly loose
     assert hits / (len(qids) * 5) >= 0.25
+
+
+def test_resize_and_frame_sample(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.multimodal import (
+        attach_fake_payloads,
+        decode_media,
+        resize_media,
+        sample_frames,
+    )
+
+    refs = pd.DataFrame(
+        {"doc_id": [f"d{i}" for i in range(20)],
+         "media_ref": [f"media://m{i}" for i in range(20)]}
+    )
+    with_payload = attach_fake_payloads(rd.from_pandas(refs)).materialize()
+
+    resized = resize_media(with_payload, target_w=4, target_h=4).to_pandas()
+    assert all(len(px) == 16 for px in resized["pixels"])
+    assert all(m["width"] == 4 and m["height"] == 4 for m in resized["media_meta"])
+    # determinism
+    resized2 = resize_media(with_payload, target_w=4, target_h=4).to_pandas()
+    assert [list(p) for p in resized["pixels"]] == [list(p) for p in resized2["pixels"]]
+
+    frames = sample_frames(with_payload, every_k=2).to_pandas()
+    meta = with_payload.to_pandas().set_index("media_ref")["media_meta"]
+    # every-k policy: ceil(n_frames / 2) rows per media
+    import math
+    want = sum(math.ceil(max(1, m["n_frames"]) / 2) for m in meta)
+    assert len(frames) == want
+    assert (frames["frame_index"] % 2 == 0).all()
+    # a multi-frame video exists in the fixture and its frame payloads differ
+    vids = frames[frames["media_meta"].map(lambda m: m["n_frames"] > 2)]
+    if len(vids) >= 2:
+        g = vids.groupby("media_ref")["payload"].nunique()
+        assert (g[g.index.isin(vids["media_ref"])] >= 1).all()
+
+    # decode still runs downstream of frame sampling (per-frame features)
+    feats = decode_media(rd.from_pandas(frames)).to_pandas()
+    assert all(len(f) == 16 for f in feats["media_features"])
+
+
+def test_resize_real_mode_is_honest_seam():
+    import pytest
+
+    from entity_resolution_ray.stages.multimodal import ResizeMedia
+
+    with pytest.raises(NotImplementedError):
+        ResizeMedia(mode="real")
