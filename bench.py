@@ -140,20 +140,23 @@ ray.shutdown()
 """
 
 
-def _compute_control(lo: int, hi: int) -> float | None:
+def _compute_control(lo: int, hi: int, repeats: int = 3) -> float | None:
     """Hardware scaling ceiling: equal pure-compute Ray tasks (no shuffle,
-    no object traffic) at both CPU levels in fresh processes."""
-    walls = {}
-    for n in (lo, hi):
-        env = dict(os.environ)
-        env.pop("RAY_ADDRESS", None)
-        out = subprocess.run(
-            [sys.executable, "-c", _CONTROL_SCRIPT, str(n)],
-            env=env, capture_output=True, text=True,
-        )
-        if out.returncode != 0:
-            return None
-        walls[n] = float(out.stdout.strip().splitlines()[-1])
+    no object traffic) at both CPU levels in fresh processes; interleaved
+    best-of-k against the VM's run-to-run throughput drift."""
+    walls: dict = {}
+    for _ in range(repeats):
+        for n in (lo, hi):
+            env = dict(os.environ)
+            env.pop("RAY_ADDRESS", None)
+            out = subprocess.run(
+                [sys.executable, "-c", _CONTROL_SCRIPT, str(n)],
+                env=env, capture_output=True, text=True,
+            )
+            if out.returncode != 0:
+                return None
+            w = float(out.stdout.strip().splitlines()[-1])
+            walls[n] = min(walls.get(n, w), w)
     return round((walls[lo] / walls[hi]) / (hi / lo), 3)
 
 
@@ -166,18 +169,30 @@ def main():
             int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(",")
         ]
         lo, hi = levels[0], levels[1]
-        results = {}
-        for n in (lo, hi):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-            env.pop("RAY_ADDRESS", None)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-            results[n] = json.loads(out.strip().splitlines()[-1])
+        # the scaling measurement needs a corpus big enough to amortize the
+        # fixed per-run floor (BASELINE.md): default to the 1.2M-doc fixture
+        # (generated once, cached under /tmp/er_fixtures) unless overridden
+        os.environ.setdefault("GRAFT_SCALING_DOCS", "1200000")
+        # this VM's throughput drifts ±15% between runs (hypervisor noise:
+        # the pure-compute control alone moved 0.78–0.89 across identical
+        # runs), so each level runs INTERLEAVED best-of-k — min wall is the
+        # machine's capability, which is what a scaling ratio should compare
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+        results: dict = {}
+        for _ in range(repeats):
+            for n in (lo, hi):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+                env.pop("RAY_ADDRESS", None)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                r = json.loads(out.strip().splitlines()[-1])
+                if n not in results or r["value"] < results[n]["value"]:
+                    results[n] = r
         t_lo, t_hi = results[lo]["value"], results[hi]["value"]
         eff = (t_lo / t_hi) / (hi / lo)
         control = _compute_control(lo, hi)
