@@ -53,9 +53,24 @@ def _stage_registry() -> dict[str, Callable]:
         article_terms,
         meta_key_column,
     )
+    from entity_resolution_ray.stages.normalize import (
+        filter_content_length,
+        filter_name_in_content,
+        max_names_filter,
+        normalize,
+        normalize_url_column,
+    )
+    from entity_resolution_ray.stages.terms import graph_data, profession_column
     from entity_resolution_ray.stages.textstats import text_stats
 
     return {
+        "normalize": normalize,
+        "normalize_url_column": normalize_url_column,
+        "filter_name_in_content": filter_name_in_content,
+        "filter_content_length": filter_content_length,
+        "max_names_filter": max_names_filter,
+        "profession_column": profession_column,
+        "graph_data": graph_data,
         "geo_resolve_column": geo_resolve_column,
         "country_blocker": country_blocker,
         "article_terms": article_terms,

@@ -132,6 +132,73 @@ def filter_name_in_content(ds, name_col: str = S.ENTITY_NAME,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def filter_content_length(ds, min_len: int | None = None,
+                          max_len: int | None = 50_000,
+                          content_col: str = S.CONTENT):
+    """Reference content-length post-filters (``utils/data.py:196-205``;
+    default max 50 000 chars, ``__main__.py:92-99``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch[content_col])
+        mask = pc.is_valid(lens)
+        if min_len is not None:
+            mask = pc.and_(mask, pc.greater_equal(lens, min_len))
+        if max_len is not None:
+            mask = pc.and_(mask, pc.less_equal(lens, max_len))
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def unpivot_annotation_pairs(pairs_ds,
+                             name_col: str = "entity_name",
+                             url1_col: str = "first_url",
+                             url2_col: str = "second_url",
+                             text1_col: str = "first_text",
+                             text2_col: str = "second_text",
+                             answer_col: str = "answer",
+                             positive: str = "Yes"):
+    """AnnotationsProvider unpivot (``am_combiner/utils/data.py:396-546``):
+    one pair row → two mention rows (url, content, entity_name), plus a
+    labeled-pairs side table (doc_a, doc_b, is_match) from the Yes/No
+    answers.  Returns (mentions_ds, labeled_pairs_ds); mention rows
+    deduplicate downstream with ``dedup_keep_min``."""
+
+    def mentions(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays(
+                    [batch[url1_col].combine_chunks(), batch[url2_col].combine_chunks()]
+                ),
+                S.CONTENT: pa.concat_arrays(
+                    [batch[text1_col].combine_chunks(), batch[text2_col].combine_chunks()]
+                ),
+                S.ENTITY_NAME: pa.concat_arrays(
+                    [batch[name_col].combine_chunks()] * 2
+                ),
+            }
+        )
+
+    def labeled(batch: pa.Table) -> pa.Table:
+        a = batch[url1_col].to_pylist()
+        b = batch[url2_col].to_pylist()
+        ans = batch[answer_col].to_pylist()
+        doc_a = [min(x, y) for x, y in zip(a, b)]
+        doc_b = [max(x, y) for x, y in zip(a, b)]
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a, pa.string()),
+                "doc_b": pa.array(doc_b, pa.string()),
+                "is_match": pa.array([x == positive for x in ans]),
+            }
+        )
+
+    return (
+        pairs_ds.map_batches(mentions, batch_format="pyarrow"),
+        pairs_ds.map_batches(labeled, batch_format="pyarrow"),
+    )
+
+
 def max_names_filter(ds, max_names: int, name_col: str = S.ENTITY_NAME):
     """Truncate to the first ``max_names`` distinct names (``utils/
     data.py:191-195``).  The reference takes input order; here the ordering

@@ -141,3 +141,42 @@ def test_profession_and_graph_data(ray_session):
     g = graph_data(rd.from_pandas(docs), ["org", "gpe"]).to_pandas()
     assert len(g) == 3  # acme, france (deduped), japan
     assert set(g["feature"]) == {"org", "gpe"}
+
+
+def test_content_length_filter_and_annotation_unpivot(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.normalize import (
+        filter_content_length,
+        unpivot_annotation_pairs,
+    )
+
+    docs = pd.DataFrame(
+        {"doc_id": ["a", "b", "c"], "content": ["x" * 5, "y" * 50, "z" * 500]}
+    )
+    out = filter_content_length(
+        rd.from_pandas(docs), min_len=10, max_len=100
+    ).to_pandas()
+    assert list(out["doc_id"]) == ["b"]
+
+    pairs = pd.DataFrame(
+        {
+            "entity_name": ["Ann Lee", "Ann Lee"],
+            "first_url": ["u2", "u1"],
+            "second_url": ["u1", "u3"],
+            "first_text": ["t2", "t1"],
+            "second_text": ["t1", "t3"],
+            "answer": ["Yes", "No"],
+        }
+    )
+    mentions, labeled = unpivot_annotation_pairs(rd.from_pandas(pairs))
+    m = mentions.to_pandas()
+    assert len(m) == 4  # 2 rows per pair (dedup is a downstream op)
+    assert set(m["doc_id"]) == {"u1", "u2", "u3"}
+    assert (m["entity_name"] == "Ann Lee").all()
+    l = labeled.to_pandas().sort_values("doc_a").reset_index(drop=True)
+    # pairs are direction-normalized (doc_a < doc_b)
+    assert list(l["doc_a"]) == ["u1", "u1"]
+    assert list(l["doc_b"]) == ["u2", "u3"]
+    assert list(l["is_match"]) == [True, False]
