@@ -58,21 +58,9 @@ def _er_cluster_sizes(sf_dir: str):
 
 
 def _er_scored_pairs(sf_dir: str):
-    import os
+    from entity_resolution_ray.pipelines.er import ERConfig, scored_pairs
 
-    from entity_resolution_ray.pipelines.er import (
-        ERConfig,
-        featured_documents,
-        read_documents,
-        scored_pairs,
-    )
-
-    fx = _er_corpus(sf_dir)
-    cfg = ERConfig()
-    featured = featured_documents(
-        read_documents(os.path.join(fx, "documents.parquet")), cfg
-    ).materialize()
-    return scored_pairs(featured, cfg).select_columns(
+    return scored_pairs(_er_featured(sf_dir), ERConfig()).select_columns(
         ["block_key", "src", "dst", "weight", "cosine", "jw", "score", "accepted"]
     )
 
@@ -168,42 +156,28 @@ def _multimodal_features(sf_dir: str):
 
 def _er_combiner(name: str):
     def run(sf_dir: str):
-        import os
-
-        from entity_resolution_ray.pipelines.er import (
-            ERConfig,
-            featured_documents,
-            read_documents,
-        )
         from entity_resolution_ray.stages.combiners import run_combiner
 
-        fx = _er_corpus(sf_dir)
-        featured = featured_documents(
-            read_documents(os.path.join(fx, "documents.parquet")), ERConfig()
-        ).materialize()
-        return run_combiner(featured, name)
+        return run_combiner(_er_featured(sf_dir), name)
 
     return run
 
 
 def _er_blocks_phonetic(sf_dir: str):
-    import os
-
-    from entity_resolution_ray.pipelines.er import (
-        ERConfig,
-        featured_documents,
-        read_documents,
-    )
     from entity_resolution_ray.stages.blockers import feature_based_blocker
 
-    fx = _er_corpus(sf_dir)
-    featured = featured_documents(
-        read_documents(os.path.join(fx, "documents.parquet")), ERConfig()
-    ).materialize()
-    return feature_based_blocker(featured, ["phonetic_key", "metaphone_key"])
+    return feature_based_blocker(
+        _er_featured(sf_dir), ["phonetic_key", "metaphone_key"]
+    )
+
+
+_FEATURED_CACHE: dict[str, object] = {}
 
 
 def _er_featured(sf_dir: str):
+    """Featured ER corpus, materialized once per process — a dozen driver
+    queries consume it, and re-deriving the tagger per query would multiply
+    the correctness run's wall by that dozen."""
     import os
 
     from entity_resolution_ray.pipelines.er import (
@@ -213,9 +187,14 @@ def _er_featured(sf_dir: str):
     )
 
     fx = _er_corpus(sf_dir)
-    return featured_documents(
-        read_documents(os.path.join(fx, "documents.parquet")), ERConfig()
-    ).materialize()
+    cached = _FEATURED_CACHE.get(fx)
+    if cached is None:
+        cached = featured_documents(
+            read_documents(os.path.join(fx, "documents.parquet")), ERConfig()
+        ).materialize()
+        _FEATURED_CACHE.clear()  # hold one corpus at a time
+        _FEATURED_CACHE[fx] = cached
+    return cached
 
 
 def _er_blocks_country(sf_dir: str):
@@ -355,11 +334,8 @@ def _er_clusters_split(sf_dir: str):
         split_clusters,
     )
 
-    fx = _er_corpus(sf_dir)
     cfg = ERConfig()
-    featured = featured_documents(
-        read_documents(os.path.join(fx, "documents.parquet")), cfg
-    ).materialize()
+    featured = _er_featured(sf_dir)
     edges = scored_pairs(featured, cfg).materialize()
     accepted = edges.map_batches(
         lambda t: t.select(["src", "dst", "weight", "block_key"]).filter(t["accepted"]),

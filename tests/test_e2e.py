@@ -60,3 +60,40 @@ def test_quality_metrics_shapes(fixture_1k):
     rates = over_under_rates(one_block)
     assert rates["oc_rate"] == 0.0 and rates["uc_rate"] == 0.0
     assert score_to_minimise(**rates) == 0.0
+
+
+def test_degenerate_documents_do_not_crash(ray_session, tmp_path):
+    """Docs with no text spans, media-only spans, or a missing name span must
+    flow through the whole flagship without crashing, spans preserved."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from entity_resolution_ray.pipelines.er import ERConfig, cluster_documents
+    from entity_resolution_ray import schema as S
+
+    span = lambda kind, text="", media="", off=0: {
+        "kind": kind, "text": text, "media_ref": media, "offset": off,
+    }
+    rows = [
+        {"doc_id": "full", "spans": [span("name", "Ann Lee"),
+                                     span("text", "Ann Lee spoke", off=1),
+                                     span("media", media="media://x", off=2)]},
+        {"doc_id": "no-text", "spans": [span("name", "Bob Ray")]},
+        {"doc_id": "media-only", "spans": [span("media", media="media://y")]},
+        {"doc_id": "nameless", "spans": [span("text", "orphan text")]},
+        {"doc_id": "empty", "spans": []},
+    ]
+    path = str(tmp_path / "degenerate.parquet")
+    pq2.write_table(pa.Table.from_pylist(rows, schema=S.DOCUMENTS_SCHEMA), path)
+
+    clustered, edges = cluster_documents(path, ERConfig(min_read_partitions=2))
+    out = clustered.to_pandas().set_index("doc_id")
+    assert len(out) == 5
+    assert out["cluster_id"].notna().all()
+    # every degenerate doc becomes its own singleton cluster
+    assert out["cluster_id"].nunique() == 5
+    # span sequences preserved per row
+    for r in rows:
+        got = [(s["kind"], s["text"], s["media_ref"]) for s in out.loc[r["doc_id"], "spans"]]
+        want = [(s["kind"], s["text"], s["media_ref"]) for s in r["spans"]]
+        assert got == want
