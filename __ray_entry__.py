@@ -405,6 +405,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_combiner_spectral": _er_combiner("tfidf_graph_cosine"),
         "er_combiner_featr_graph": _er_combiner("tfidf_featr_graph_cosine"),
         "er_combiner_model": _er_combiner_model,
+        "er_combiner_gcn": _er_combiner("gcn"),
+        "er_combiner_gcn_hetero": _er_combiner("gcn_hetero"),
+        "er_combiner_gcn_lc": _er_combiner("gcn_lc"),
         "er_blocks_phonetic": _er_blocks_phonetic,
         "er_blocks_country": _er_blocks_country,
         "er_clusters_split": _er_clusters_split,

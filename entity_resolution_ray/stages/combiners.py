@@ -406,6 +406,24 @@ def make_clustering_algo_combiner(algorithm, *args, **kwargs):
 
 
 # --- registry + runner -----------------------------------------------------
+def _gcn(group: pd.DataFrame, **kw) -> pd.DataFrame:
+    from entity_resolution_ray.stages.gcn import gcn_combine
+
+    return gcn_combine(group, **kw)
+
+
+def _gcn_hetero(group: pd.DataFrame, **kw) -> pd.DataFrame:
+    from entity_resolution_ray.stages.gcn import gcn_hetero_combine
+
+    return gcn_hetero_combine(group, **kw)
+
+
+def _gcn_lc(group: pd.DataFrame, **kw) -> pd.DataFrame:
+    from entity_resolution_ray.stages.gcn import gcn_lc_combine
+
+    return gcn_lc_combine(group, **kw)
+
+
 COMBINERS = {
     "current_production": _current_production,
     "connected_components": _connected_components,
@@ -415,6 +433,9 @@ COMBINERS = {
     "fastrp": _fastrp,
     "tfidf_graph_cosine": _tfidf_graph_cosine,
     "tfidf_featr_graph_cosine": _tfidf_featr_graph_cosine,
+    "gcn": _gcn,
+    "gcn_hetero": _gcn_hetero,
+    "gcn_lc": _gcn_lc,
 }
 
 
