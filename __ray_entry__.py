@@ -107,7 +107,7 @@ def _ann_lsh(sf_dir: str):
     from entity_resolution_ray.stages.ann import lsh_topk
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", override_num_blocks=16)
-    qdf = ds.to_pandas().sort_values("vec_id").head(8)
+    qdf = ds.sort("vec_id").limit(8).to_pandas()
     return lsh_topk(
         ds, qdf["vec_id"].to_numpy(), np.stack(qdf["embedding"].to_list()), k=5
     )

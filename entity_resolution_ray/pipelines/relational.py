@@ -24,7 +24,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from entity_resolution_ray.stages.joins import broadcast_join, hash_join
+from entity_resolution_ray.stages.joins import broadcast_join, hash_join, size_gated_join
 from entity_resolution_ray.stages.textstats import (
     EN_STOPWORDS,
     XX_STOPWORDS,
@@ -130,8 +130,10 @@ def q_segment_revenue(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
-    # customer is the small side → broadcast map-join
-    j2 = broadcast_join(j1, cust.to_pandas(), on="c_custkey", how="inner")
+    # customer is data-proportional (150k rows/SF): broadcast only under the
+    # cap, partitioned hash join above it (VERDICT r2 "What's wrong" #2)
+    j2 = size_gated_join(j1, cust, on="c_custkey", how="inner",
+                         broadcast_cap=2_000_000)
     out = j2.groupby("c_mktsegment").aggregate(
         Sum("order_rev", alias_name="revenue"),
         Count(alias_name="n_orders"),
@@ -449,9 +451,9 @@ def q_ann_topk(sf_dir: str):
     from entity_resolution_ray.stages.ann import brute_force_topk
 
     ds = _read(sf_dir, "embeddings")
-    qdf = (
-        ds.to_pandas().sort_values("vec_id").head(ANN_NUM_QUERIES)
-    )
+    # query selection stays distributed: sort+limit pushes top-N selection
+    # into the executor; only ANN_NUM_QUERIES rows reach the driver
+    qdf = ds.sort("vec_id").limit(ANN_NUM_QUERIES).to_pandas()
     qids = qdf["vec_id"].to_numpy()
     qmat = np.stack(qdf["embedding"].to_list())
     return brute_force_topk(ds, qids, qmat, k=ANN_K)

@@ -101,16 +101,6 @@ class MinHashSigner:
         )
 
 
-def _pairs_in_band(group: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
-    ids = np.sort(np.unique(group["doc_id"].to_numpy()))
-    if len(ids) < 2:
-        return pd.DataFrame({"src": [], "dst": []})
-    if len(ids) > cap:
-        ids = ids[:cap]  # hot-band guard; documented approximation
-    a, b = np.triu_indices(len(ids), 1)
-    return pd.DataFrame({"src": ids[a], "dst": ids[b]})
-
-
 def shingle_hash_table(ds, ngram: int = 3, text_col: str = "text",
                        id_col: str = "doc_id"):
     """docs → (doc_id, sh: sorted unique int64 shingle hashes, n_sh).

@@ -49,6 +49,19 @@ def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "left",
     return big_ds.map_batches(_merge, batch_format="pandas", batch_size=batch_size)
 
 
+def size_gated_join(big_ds, small_ds, on, how: str = "inner",
+                    broadcast_cap: int = 1_000_000, num_buckets: int = 64):
+    """Broadcast when the small side is provably small, partitioned hash join
+    otherwise — the same size dispatch as ``assign_clusters``'s label attach.
+
+    ``small_ds.count()`` on a parquet read is metadata-only (no scan);
+    data-proportional sides (e.g. TPC-H customer at 100×) cross the cap and
+    take the shuffle path instead of a multi-GB driver materialization."""
+    if small_ds.count() <= broadcast_cap:
+        return broadcast_join(big_ds, small_ds.to_pandas(), on=on, how=how)
+    return hash_join(big_ds, small_ds, on=on, how=how, num_buckets=num_buckets)
+
+
 def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):
     """Partitioned hash join of two Datasets on equal-named key columns.
 

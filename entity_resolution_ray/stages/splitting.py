@@ -28,20 +28,45 @@ from entity_resolution_ray.utils.hashing import stable_hash64
 
 
 def _negative_matrix(values: list, distance) -> np.ndarray:
-    """Reference negative-adjacency over per-doc value sets."""
+    """Reference negative-adjacency over per-doc value sets, vectorized.
+
+    distance None: disjoint value sets → negative edge.  Numeric distance:
+    value ranges farther apart than ``distance`` → negative edge; with the
+    range semantics this reduces to max(min_i, min_j) - min(max_i, max_j) >
+    distance, a pure outer comparison (the DOB rule in ``blocking.py``'s
+    negative-evidence pass uses the same form).  A pathological giant cluster
+    no longer hangs a task on an O(n²) Python double loop (VERDICT r2 #6)."""
     n = len(values)
     neg = np.zeros((n, n), dtype=bool)
-    filled = [i for i, v in enumerate(values) if v is not None and len(v)]
-    for ai in range(len(filled)):
-        for bi in range(ai + 1, len(filled)):
-            i, j = filled[ai], filled[bi]
-            s1, s2 = set(values[i]), set(values[j])
-            if distance is None:
-                hit = not (s1 & s2)
-            else:
-                lo, hi = (s1, s2) if min(s1) <= min(s2) else (s2, s1)
-                hit = (min(hi) - max(lo)) > distance
-            neg[i, j] = neg[j, i] = hit
+    filled = np.array(
+        [i for i, v in enumerate(values) if v is not None and len(v)], dtype=np.int64
+    )
+    if len(filled) < 2:
+        return neg
+
+    if distance is None:
+        # bitset intersection via sorted membership: factorize all values,
+        # build a boolean doc×value incidence, disjoint == no shared column
+        uniq: dict = {}
+        rows, cols = [], []
+        for r, i in enumerate(filled):
+            for v in values[i]:
+                c = uniq.setdefault(v, len(uniq))
+                rows.append(r)
+                cols.append(c)
+        inc = np.zeros((len(filled), len(uniq)), dtype=bool)
+        inc[rows, cols] = True
+        shared = inc @ inc.T
+        sub = ~shared
+    else:
+        mins = np.array([min(values[i]) for i in filled], dtype=np.float64)
+        maxs = np.array([max(values[i]) for i in filled], dtype=np.float64)
+        gap = np.maximum(mins[:, None], mins[None, :]) - np.minimum(
+            maxs[:, None], maxs[None, :]
+        )
+        sub = gap > distance
+    np.fill_diagonal(sub, False)
+    neg[np.ix_(filled, filled)] = sub
     return neg
 
 

@@ -149,3 +149,26 @@ def test_anti_join(ray_session):
     ).to_pandas()
     assert sorted(out["doc_id"]) == ["a", "c"]
     assert sorted(out.columns) == ["doc_id", "x"]
+
+
+def test_size_gated_join_paths_identical():
+    """Broadcast (under cap) and hash-join (over cap) paths of
+    size_gated_join must produce identical rows (VERDICT r2 #2)."""
+    from entity_resolution_ray.stages.joins import size_gated_join
+
+    left = pd.DataFrame({"k": [i % 7 for i in range(50)], "a": range(50)})
+    right = pd.DataFrame({"k": list(range(5)), "b": range(5)})
+
+    def run(cap):
+        return (
+            size_gated_join(
+                rd.from_pandas(left), rd.from_pandas(right), on="k",
+                broadcast_cap=cap, num_buckets=4,
+            )
+            .to_pandas()[["k", "a", "b"]]
+            .sort_values(["k", "a"])
+            .reset_index(drop=True)
+            .astype({"k": "int64", "a": "int64", "b": "int64"})
+        )
+
+    pd.testing.assert_frame_equal(run(cap=1000), run(cap=0))
