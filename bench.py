@@ -101,6 +101,19 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             res.count()
         queries[name] = round(time.time() - t0, 3)
 
+    # annotation overlay over the flagship's own edge table (VERDICT r2 #3):
+    # labeled pairs sampled from the edges, overlay applied to every pair
+    import numpy as np
+
+    from entity_resolution_ray.stages.combiners import annotations_overlay
+
+    lp = edges.limit(5000).select_columns(["src", "dst"]).to_pandas()
+    lp = lp.rename(columns={"src": "doc_a", "dst": "doc_b"})
+    lp["is_match"] = (np.arange(len(lp)) % 2) == 0
+    t0 = time.time()
+    annotations_overlay(edges, lp).count()
+    queries["annotations_overlay"] = round(time.time() - t0, 3)
+
     return {
         "metric": "er_flagship_wall_sec (candidate-pair scoring + clustering, "
         f"{n_docs} docs)",

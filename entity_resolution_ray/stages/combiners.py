@@ -455,40 +455,68 @@ def run_combiner(featured_ds, name, **kwargs):
     )
 
 
+def _member(sorted_keys: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    if len(sorted_keys) == 0:
+        return np.zeros(len(probe), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1)
+    return sorted_keys[idx] == probe
+
+
 def annotations_overlay(edges_ds, labeled_pairs_df: pd.DataFrame,
                         th: float = 0.6):
     """Human annotations overwrite scored pairs: Yes → accepted, No → rejected
     (``am_combiner/combiners/annotation.py:41-67``); unlabeled pairs keep the
-    score threshold."""
+    score threshold.
+
+    Vectorized (VERDICT r2 #3), Arrow-side: the annotation ids (a small,
+    human-labeled set) are broadcast once as an Arrow value set; each batch
+    resolves both endpoints with ``pc.index_in`` (C-speed hash membership, no
+    Python string objects), mixes the two small int codes into an
+    order-insensitive pair key, and looks it up in the sorted yes/no key
+    arrays with ``np.searchsorted``.  No per-row loop, no per-string hashing
+    of the (pairs-proportional) edge table beyond the index_in probe."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     import ray
 
-    import pyarrow as pa
+    ids = pd.unique(
+        np.concatenate(
+            [np.asarray(labeled_pairs_df["doc_a"], dtype=object),
+             np.asarray(labeled_pairs_df["doc_b"], dtype=object)]
+        )
+    )
+    pos = {v: i for i, v in enumerate(ids)}
+    n_ids = np.int64(len(ids))
+    ca = np.array([pos[v] for v in labeled_pairs_df["doc_a"]], dtype=np.int64)
+    cb = np.array([pos[v] for v in labeled_pairs_df["doc_b"]], dtype=np.int64)
+    keys = np.minimum(ca, cb) * n_ids + np.maximum(ca, cb)
+    m = labeled_pairs_df["is_match"].to_numpy().astype(bool)
+    ref = ray.put(
+        (np.sort(keys[m]), np.sort(keys[~m]), pa.array(ids, pa.string()))
+    )
 
-    yes = set()
-    no = set()
-    for a, b, m in zip(
-        labeled_pairs_df["doc_a"], labeled_pairs_df["doc_b"],
-        labeled_pairs_df["is_match"],
-    ):
-        key = (a, b) if a <= b else (b, a)
-        (yes if m else no).add(key)
-    ref = ray.put((yes, no))
-
-    def overlay(batch: pd.DataFrame) -> pd.DataFrame:
+    def overlay(batch: pa.Table) -> pa.Table:
         from entity_resolution_ray.stages.blocking import fetch_broadcast
 
-        y, n_ = fetch_broadcast(ref)
-        out = batch.copy()
-        acc = out["score"].to_numpy() > th
-        src = out["src"].to_numpy()
-        dst = out["dst"].to_numpy()
-        for i in range(len(out)):
-            key = (src[i], dst[i]) if src[i] <= dst[i] else (dst[i], src[i])
-            if key in y:
-                acc[i] = True
-            elif key in n_:
-                acc[i] = False
-        out["accepted"] = acc & ~out["neg_dob"].to_numpy()
-        return out
+        y, n_, id_set = fetch_broadcast(ref)
+        acc = pc.greater(batch["score"], th).to_numpy(zero_copy_only=False)
+        cs = pc.fill_null(pc.index_in(batch["src"], value_set=id_set), -1)
+        cd = pc.fill_null(pc.index_in(batch["dst"], value_set=id_set), -1)
+        cs = cs.to_numpy(zero_copy_only=False).astype(np.int64)
+        cd = cd.to_numpy(zero_copy_only=False).astype(np.int64)
+        both = (cs >= 0) & (cd >= 0)
+        probe = np.minimum(cs, cd) * n_ids + np.maximum(cs, cd)
+        # reference precedence: a pair labeled both ways resolves Yes
+        # (annotation.py's if/elif reads the Yes set first)
+        acc[both & _member(n_, probe)] = False
+        acc[both & _member(y, probe)] = True
+        acc &= ~batch["neg_dob"].to_numpy(zero_copy_only=False)
+        col = pa.array(acc)
+        if "accepted" in batch.column_names:
+            return batch.set_column(
+                batch.column_names.index("accepted"), "accepted", col
+            )
+        return batch.append_column("accepted", col)
 
-    return edges_ds.map_batches(overlay, batch_format="pandas")
+    return edges_ds.map_batches(overlay, batch_format="pyarrow")
