@@ -391,6 +391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": R.q_embedding_neardup,
         "ann_topk": R.q_ann_topk,
         "jaccard_neardup": R.q_jaccard_neardup,
+        "doc_embeddings": R.q_doc_embeddings,
         # non-SQL-expressible pipelines (rows-only checks)
         "er_clusters": _er_clusters,
         "er_cluster_sizes": _er_cluster_sizes,
@@ -437,5 +438,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": R.Q_EMBEDDING_NEARDUP_SQL,
         "ann_topk": R.Q_ANN_TOPK_SQL,
         "jaccard_neardup": R.Q_JACCARD_NEARDUP_SQL,
+        "doc_embeddings": R.Q_DOC_EMBEDDINGS_SQL,
         "doc_keywords": DOC_KEYWORDS_SQL,
     }

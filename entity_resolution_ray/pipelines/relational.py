@@ -476,6 +476,37 @@ select query_id, neighbor_id, cosine from (
 """
 
 
+# --- 13b. embedding-table attach (Neo4j visitor analogue) -------------------
+def q_doc_embeddings(sf_dir: str):
+    """``attach_embeddings`` drive: documents joined against the precomputed
+    embedding table by id, per-doc L2 norm of the attached vector."""
+    from entity_resolution_ray.stages.joins import attach_embeddings
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    joined = attach_embeddings(docs, emb, id_col="doc_id", emb_id_col="vec_id")
+
+    def norm(batch: pd.DataFrame) -> pd.DataFrame:
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in batch["embedding"]]
+        ) if len(batch) else np.zeros((0, 1))
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(),
+             "lang": batch["lang"].to_numpy(),
+             "emb_norm": np.round(np.linalg.norm(vecs, axis=1), 6)}
+        )
+
+    return joined.map_batches(norm, batch_format="pandas")
+
+
+Q_DOC_EMBEDDINGS_SQL = """
+select d.doc_id, d.lang,
+       round(sqrt(list_inner_product(e.embedding::DOUBLE[],
+                                     e.embedding::DOUBLE[])), 6) as emb_norm
+from documents d join embeddings e on d.doc_id = e.vec_id
+"""
+
+
 # --- 14. word-ngram jaccard near-dup pairs ---------------------------------
 JACCARD_TH = 0.18
 JACCARD_NGRAM = 3

@@ -62,6 +62,33 @@ def size_gated_join(big_ds, small_ds, on, how: str = "inner",
     return hash_join(big_ds, small_ds, on=on, how=how, num_buckets=num_buckets)
 
 
+def attach_embeddings(ds, emb_ds, id_col: str = "doc_id",
+                      emb_id_col: str | None = None,
+                      how: str = "inner", broadcast_cap: int = 2_000_000,
+                      num_buckets: int = 64):
+    """Join records against a precomputed embedding table by id — the
+    ``Neo4jEmbeddingVisitor`` analogue (reference ``am_combiner/features/
+    remote.py:8-35``: node2vec vectors downloaded once into a driver dict,
+    then attached per record by ``sanction_id``).
+
+    The driver-dict shape is the broadcast fast path (embedding table under
+    ``broadcast_cap`` rows → ``ray.put`` once, merged per batch); a
+    data-proportional embedding table takes the partitioned ``hash_join``
+    instead.  ``how="inner"`` mirrors the reference's hard KeyError on a
+    missing id (records without an embedding drop); pass ``how="left"`` to
+    keep them with nulls."""
+    import pyarrow as pa
+
+    if emb_id_col and emb_id_col != id_col:
+        def rename(batch: pa.Table) -> pa.Table:
+            names = [id_col if n == emb_id_col else n for n in batch.column_names]
+            return batch.rename_columns(names)
+
+        emb_ds = emb_ds.map_batches(rename, batch_format="pyarrow")
+    return size_gated_join(ds, emb_ds, on=id_col, how=how,
+                           broadcast_cap=broadcast_cap, num_buckets=num_buckets)
+
+
 def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):
     """Partitioned hash join of two Datasets on equal-named key columns.
 

@@ -172,3 +172,30 @@ def test_size_gated_join_paths_identical():
         )
 
     pd.testing.assert_frame_equal(run(cap=1000), run(cap=0))
+
+
+def test_attach_embeddings_both_paths():
+    """Neo4j embedding visitor analogue: id-keyed embedding attach, identical
+    through the broadcast and hash-join paths; inner drops missing ids."""
+    import numpy as np
+
+    from entity_resolution_ray.stages.joins import attach_embeddings
+
+    docs = pd.DataFrame({"doc_id": [0, 1, 2, 3], "x": list("abcd")})
+    emb = pd.DataFrame(
+        {"vec_id": [0, 1, 2], "embedding": [[1.0, 0.0], [0.0, 2.0], [3.0, 4.0]]}
+    )
+
+    def run(cap):
+        out = attach_embeddings(
+            rd.from_pandas(docs), rd.from_pandas(emb),
+            id_col="doc_id", emb_id_col="vec_id", broadcast_cap=cap,
+            num_buckets=4,
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        return out
+
+    a, b = run(1000), run(0)
+    assert list(a["doc_id"]) == [0, 1, 2] == list(b["doc_id"])  # inner: id 3 drops
+    for df in (a, b):
+        norms = [float(np.linalg.norm(v)) for v in df["embedding"]]
+        assert norms == [1.0, 2.0, 5.0]
