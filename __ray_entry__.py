@@ -265,6 +265,26 @@ def _sanctions_features(sf_dir: str):
     )
 
 
+def _sanctions_gt(sf_dir: str):
+    """ManualOverlay ground-truth assembly over the synthetic sanctions
+    corpus: overlay profiles → profile codes + per-profile hash split."""
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.sanctions import (
+        manual_overlay_ground_truth,
+        synth_overlay_profiles,
+        synth_sanctions,
+    )
+
+    n = max(200, min(20_000, _er_docs_for(sf_dir) // 10))
+    sanctions = synth_sanctions(n)
+    profiles = synth_overlay_profiles(sanctions)
+    return manual_overlay_ground_truth(
+        rd.from_arrow(sanctions), profiles.to_pandas(),
+        test_prop=0.2, valid_prop=0.2,
+    )
+
+
 def _doc_terms(sf_dir: str):
     import ray.data as rd
 
@@ -414,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_clusters_split": _er_clusters_split,
         "er_blocks_cutoff": _er_blocks_cutoff,
         "sanctions_features": _sanctions_features,
+        "sanctions_gt": _sanctions_gt,
         "doc_terms": _doc_terms,
         "doc_keywords": _doc_keywords,
         "doc_topics": _doc_topics,

@@ -537,3 +537,107 @@ def synth_sanctions(n: int = 200, seed: int = 9) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=SANCTION_SCHEMA)
+
+
+def synth_overlay_profiles(sanctions: pa.Table, seed: int = 13,
+                           group_size: int = 3,
+                           coverage: float = 0.7) -> pa.Table:
+    """Deterministic synthetic manually-unified profiles over a sanctions
+    table: consecutive runs of ``group_size`` sanction ids unify under one
+    profile; ~``coverage`` of the groups actually have an overlay (the rest
+    stay un-unified, like mentions outside any manual override)."""
+    rng = np.random.default_rng(seed)
+    ids = sanctions.column("sanction_id").to_pylist()
+    rows = []
+    for g in range(0, len(ids), group_size):
+        if rng.random() >= coverage:
+            continue
+        rows.append(
+            {"profile_id": f"pp{g // group_size:05d}",
+             "source_entity_ids": ids[g:g + group_size]}
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [pa.field("profile_id", pa.string()),
+             pa.field("source_entity_ids", pa.list_(pa.string()))]
+        ),
+    )
+
+
+def manual_overlay_ground_truth(mentions_ds, profiles_ds,
+                                test_prop: float = 0.2,
+                                valid_prop: float = 0.2,
+                                entity_types: list[str] | None = None,
+                                id_col: str = "sanction_id",
+                                type_col: str = "type",
+                                seed: int = 0):
+    """``ManualOverlayUnifyGroundTruth`` assembly (reference
+    ``am_combiner/utils/sanction_data.py:22-184``):
+
+    - overlay profiles ``(profile_id, source_entity_ids)`` exploded to an
+      id → profile mapping (``_enrich_sm_data``'s sm_to_profile dict),
+    - mentions left-joined to their profile; ``ground_truth`` = dense code of
+      ``profile_id`` in sorted order, unmatched → -1 (the reference's
+      sort + ``astype("category").cat.codes``),
+    - entity type (null → ``"undefined"``), optional ``entity_types`` filter,
+      ``blocking_field`` = type (``sanction_data.py:142-151``),
+    - deterministic per-PROFILE train/test/valid split with the engine's
+      stable-hash protocol (the reference's seeded sklearn split,
+      ``sanction_data.py:109-125``; hash split so reruns and workers agree
+      without shipping RNG state).
+
+    The profile table is manual-override-sized (human-curated, bounded), so
+    its explode + the code map are broadcast; mentions stream through one
+    ``map_batches``.  Returns (id, profile_id, ground_truth, type,
+    blocking_field, split).
+    """
+    import pandas as pd
+
+    import ray
+
+    from entity_resolution_ray.utils.hashing import stable_hash64
+
+    prof_df = profiles_ds.to_pandas() if hasattr(profiles_ds, "to_pandas") else profiles_ds
+    sm_to_profile: dict[str, str] = {}
+    for p, sms in zip(prof_df["profile_id"], prof_df["source_entity_ids"]):
+        for sm in sms:
+            sm_to_profile[sm] = p
+    codes = {p: i for i, p in enumerate(sorted(set(sm_to_profile.values())))}
+
+    def split_of(p: str | None) -> str:
+        if p is None:
+            return "train"  # profile-less mentions never land in a holdout
+        r = stable_hash64(f"{seed}:{p}") % 10_000
+        if r < test_prop * 10_000:
+            return "test"
+        if r < (test_prop + valid_prop) * 10_000:
+            return "valid"
+        return "train"
+
+    splits = {p: split_of(p) for p in codes}
+    ref = ray.put((sm_to_profile, codes, splits))
+
+    def assemble(batch: pd.DataFrame) -> pd.DataFrame:
+        from entity_resolution_ray.stages.blocking import fetch_broadcast
+
+        s2p, code_map, split_map = fetch_broadcast(ref)
+        ids = batch[id_col].to_numpy()
+        profs = np.array([s2p.get(i) for i in ids], dtype=object)
+        gt = np.array([code_map.get(p, -1) if p is not None else -1 for p in profs],
+                      dtype=np.int64)
+        typ = np.array(
+            [t if t is not None else "undefined" for t in batch[type_col]],
+            dtype=object,
+        )
+        out = pd.DataFrame(
+            {id_col: ids, "profile_id": profs, "ground_truth": gt,
+             "type": typ, "blocking_field": typ,
+             "split": np.array([split_map.get(p, "train") for p in profs],
+                               dtype=object)}
+        )
+        if entity_types:
+            out = out[out["type"].isin(entity_types)].reset_index(drop=True)
+        return out
+
+    return mentions_ds.map_batches(assemble, batch_format="pandas")

@@ -1,5 +1,6 @@
 """Sanction nested-struct extractors, date/time kernels, span-window selector."""
 
+import pandas as pd
 import pyarrow as pa
 
 from entity_resolution_ray.functions.dates import standardize_date, standardize_time
@@ -203,3 +204,63 @@ def test_resize_real_mode_is_honest_seam():
 
     with pytest.raises(NotImplementedError):
         ResizeMedia(mode="real")
+
+
+def test_manual_overlay_ground_truth(ray_session):
+    """ManualOverlay assembly: profile mapping, dense sorted codes,
+    unmatched -1, per-profile split determinism (sanction_data.py:22-184)."""
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.sanctions import (
+        manual_overlay_ground_truth,
+        synth_overlay_profiles,
+        synth_sanctions,
+    )
+
+    sanctions = synth_sanctions(60)
+    profiles = synth_overlay_profiles(sanctions, group_size=3, coverage=0.7)
+    out = manual_overlay_ground_truth(
+        rd.from_arrow(sanctions), profiles.to_pandas()
+    ).to_pandas().sort_values("sanction_id").reset_index(drop=True)
+
+    assert len(out) == 60
+    # mapped mentions carry their profile; unmapped get -1 / train
+    prof_rows = out[out["profile_id"].notna()]
+    unmapped = out[out["profile_id"].isna()]
+    assert len(prof_rows) and len(unmapped)
+    assert (unmapped["ground_truth"] == -1).all()
+    assert (unmapped["split"] == "train").all()
+    # ground_truth = dense code of sorted profile ids
+    m = prof_rows.groupby("profile_id")["ground_truth"].nunique()
+    assert (m == 1).all()
+    order = prof_rows.drop_duplicates("profile_id").sort_values("profile_id")
+    assert list(order["ground_truth"]) == sorted(order["ground_truth"])
+    # split is a pure function of the profile
+    per_prof = prof_rows.groupby("profile_id")["split"].nunique()
+    assert (per_prof == 1).all()
+    # blocking field mirrors the entity type
+    assert (out["blocking_field"] == out["type"]).all()
+    # rerun → identical
+    out2 = manual_overlay_ground_truth(
+        rd.from_arrow(sanctions), profiles.to_pandas()
+    ).to_pandas().sort_values("sanction_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_manual_overlay_entity_type_filter(ray_session):
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.sanctions import (
+        manual_overlay_ground_truth,
+        synth_overlay_profiles,
+        synth_sanctions,
+    )
+
+    sanctions = synth_sanctions(60)
+    profiles = synth_overlay_profiles(sanctions)
+    out = manual_overlay_ground_truth(
+        rd.from_arrow(sanctions), profiles.to_pandas(),
+        entity_types=["person"],
+    ).to_pandas()
+    assert (out["type"] == "person").all()
+    assert 0 < len(out) < 60

@@ -127,3 +127,23 @@ def test_lance_seam(tmp_path):
 
     with pytest.raises(ImportError, match="pylance"):
         read_documents(str(tmp_path / "corpus.lance"))
+
+
+def test_lance_dir_detection_executes_branch(tmp_path):
+    """A Lance dataset DIRECTORY (marked by _versions/) must route into the
+    real Lance branch — executed, not mocked: without pylance the contract
+    is a clean ImportError naming the missing package."""
+    import os
+
+    from entity_resolution_ray.pipelines.er import read_documents
+
+    ds_dir = tmp_path / "corpus_ds"
+    os.makedirs(ds_dir / "_versions")
+    try:
+        import lance  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="pylance"):
+            read_documents(str(ds_dir))
+    else:  # container with pylance: branch must reach read_lance and fail
+        with pytest.raises(Exception):  # noqa: B017 — empty dataset dir
+            read_documents(str(ds_dir))
