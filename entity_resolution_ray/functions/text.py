@@ -159,3 +159,99 @@ def jaro_winkler_pairs(a: list[str], b: list[str]) -> np.ndarray:
             cache[key] = v
         out[i] = v
     return out
+
+
+def _char_matrix(strs: list[str], width: int) -> np.ndarray:
+    """(n, width) uint32 codepoint matrix, 0-padded — one C-level join+encode,
+    no per-string Python loop in the hot path."""
+    joined = "".join(s[:width].ljust(width, "\0") for s in strs)
+    return np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).reshape(
+        len(strs), width
+    )
+
+
+def jaro_winkler_batch(a: list[str], b: list[str],
+                       prefix_weight: float = 0.1,
+                       max_len: int = 64) -> np.ndarray:
+    """Batched Jaro-Winkler: identical results to ``jaro_winkler`` (pinned by
+    test), vectorized across PAIRS.  The greedy match scan is inherently
+    sequential in the character positions, so the loops run over positions
+    (O(L·W) numpy passes, L=longest name, W=match window) while every pass
+    operates on all n pairs at once — the high-name-cardinality regime where
+    the memoized scalar kernel would walk 1µs/pair Python (VERDICT r2 #4).
+    Names longer than ``max_len`` chars are truncated (names, not documents).
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float64)
+    la = np.fromiter((min(len(s), max_len) for s in a), np.int64, n)
+    lb = np.fromiter((min(len(s), max_len) for s in b), np.int64, n)
+    L = int(max(la.max(), lb.max(), 1))
+    A = _char_matrix(a, L)
+    B = _char_matrix(b, L)
+
+    # Bit-parallel greedy match (all n pairs at once, uint64 position masks —
+    # max_len=64 is exactly the word width).  eqm[:, i] bit j set iff
+    # s1[i] == s2[j]; the i-loop consumes the lowest available equal position
+    # inside the Jaro window, mirroring the scalar kernel's first-unflagged-j
+    # scan.
+    one = np.uint64(1)
+    pow2m1 = np.concatenate(
+        [(one << np.arange(64, dtype=np.uint64)) - one,
+         np.array([np.uint64(0xFFFFFFFFFFFFFFFF)])]
+    )
+    nzA = A != 0
+    eqm = np.zeros((n, L), dtype=np.uint64)
+    # accumulate 8 j-bits at a time in uint8 (8× less memory traffic than
+    # per-j uint64 temporaries), then merge each byte into the uint64 mask
+    for byte in range(0, L, 8):
+        eqm8 = np.zeros((n, L), dtype=np.uint8)
+        for j in range(byte, min(byte + 8, L)):
+            bj = B[:, j : j + 1]
+            cmp = (A == bj) & nzA & (bj != 0)
+            eqm8 |= cmp.view(np.uint8) << np.uint8(j - byte)
+        eqm |= eqm8.astype(np.uint64) << np.uint64(byte)
+
+    match_dist = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    flags1 = np.zeros((n, L), dtype=bool)
+    avail = pow2m1[lb]
+    flags2_mask = np.zeros(n, dtype=np.uint64)
+    for i in range(L):
+        lo = np.maximum(0, i - match_dist)
+        hi = np.minimum(lb, i + match_dist + 1)
+        wmask = pow2m1[hi] & ~pow2m1[lo]
+        cand = eqm[:, i] & avail & wmask
+        low = cand & (~cand + one)  # lowest set bit
+        flags1[:, i] = cand != 0
+        flags2_mask |= low
+        avail &= ~low
+    matches = flags1.sum(axis=1)
+    cols = np.arange(L)
+    flags2 = ((flags2_mask[:, None] >> cols.astype(np.uint64)) & one).astype(bool)
+
+    # transpositions: flagged chars of each side packed in order (stable
+    # argsort pulls flagged columns to the front in position order), compared
+    mm = int(matches.max()) if n else 0
+    if mm:
+        o1 = np.argsort(~flags1, axis=1, kind="stable")[:, :mm]
+        o2 = np.argsort(~flags2, axis=1, kind="stable")[:, :mm]
+        M1 = np.take_along_axis(A, o1, axis=1)
+        M2 = np.take_along_axis(B, o2, axis=1)
+        k = np.arange(mm)
+        transpositions = ((M1 != M2) & (k < matches[:, None])).sum(axis=1) // 2
+    else:
+        transpositions = np.zeros(n, dtype=np.int64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        m = matches.astype(np.float64)
+        jaro = (m / la + m / lb + (m - transpositions) / m) / 3.0
+    jaro[matches == 0] = 0.0
+    jaro[(la == 0) | (lb == 0)] = 0.0
+    jaro[(la == 0) & (lb == 0)] = 1.0  # scalar kernel: s1 == s2 → 1.0
+
+    p = min(4, L)
+    eq = (A[:, :p] == B[:, :p]) & (A[:, :p] != 0) & (cols[:p] < la[:, None]) & (
+        cols[:p] < lb[:, None]
+    )
+    prefix = np.cumprod(eq, axis=1).sum(axis=1)
+    return jaro + prefix * prefix_weight * (1.0 - jaro)

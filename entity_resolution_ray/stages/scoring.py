@@ -90,14 +90,36 @@ class PairScorer:
         n = len(batch)
 
         # JW over the batch's UNIQUE name pairs only (names repeat heavily
-        # inside a block-keyed pair table), then scattered back — plus the
-        # cross-batch memo in self._jw
+        # inside a block-keyed pair table), then scattered back.  Cache hits
+        # resolve from the cross-batch memo; the misses go through the
+        # bit-parallel numpy kernel in ONE batched call, so a
+        # high-name-cardinality corpus (unique-pair ratio ~1) stays off the
+        # pure-Python char loop (VERDICT r2 #4).
+        from entity_resolution_ray.functions.text import jaro_winkler_batch
+
         keys = batch["src_name"].str.cat(batch["dst_name"], sep="\x00")
         codes, uniques = pd.factorize(keys, sort=False)
         vals = np.empty(len(uniques), dtype=np.float64)
+        miss_i: list[int] = []
+        miss_a: list[str] = []
+        miss_b: list[str] = []
+        cache = self._jw_cache
         for i, u in enumerate(uniques):
             a, _, b = u.partition("\x00")
-            vals[i] = self._jw(a, b)
+            key = (a, b) if a <= b else (b, a)
+            v = cache.get(key)
+            if v is None:
+                miss_i.append(i)
+                miss_a.append(key[0])
+                miss_b.append(key[1])
+            else:
+                vals[i] = v
+        if miss_i:
+            mv = jaro_winkler_batch(miss_a, miss_b)
+            vals[miss_i] = mv
+            if len(cache) < 200_000:
+                for a, b, v in zip(miss_a, miss_b, mv):
+                    cache[(a, b)] = float(v)
         jw = vals[codes]
 
         # media cosine + DOB negative evidence arrive precomputed from the

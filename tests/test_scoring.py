@@ -76,3 +76,36 @@ def test_media_cosine_same_prefix_high():
         )
     )
     assert abs(out2["media_cos"][0]) < 0.6
+
+
+def test_jaro_winkler_batch_matches_scalar():
+    """Bit-parallel batched JW pins exactly to the scalar kernel, including
+    the classic reference pairs and degenerate inputs."""
+    import random
+    import string
+
+    import numpy as np
+
+    from entity_resolution_ray.functions.text import (
+        jaro_winkler,
+        jaro_winkler_batch,
+    )
+
+    rng = random.Random(17)
+    pairs = [
+        ("", ""), ("a", ""), ("", "b"), ("abc", "abc"),
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("dwayne", "duane"),
+        ("jellyfish", "smellyfish"),
+    ]
+    for _ in range(2000):
+        pairs.append((
+            "".join(rng.choice(string.ascii_lowercase + " ")
+                    for _ in range(rng.randint(0, 30))),
+            "".join(rng.choice(string.ascii_lowercase + " ")
+                    for _ in range(rng.randint(0, 30))),
+        ))
+    a = [x for x, _ in pairs]
+    b = [y for _, y in pairs]
+    got = jaro_winkler_batch(a, b)
+    exp = np.array([jaro_winkler(x, y) for x, y in pairs])
+    np.testing.assert_allclose(got, exp, atol=1e-12)
