@@ -78,7 +78,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     queries: dict[str, float] = {}
 
     t0 = time.time()
-    clustered, edges = cluster_documents(docs_path, ERConfig())
+    cfg = ERConfig(timing_report="/tmp/er_block_timing.json")
+    clustered, edges = cluster_documents(docs_path, cfg)
     n_docs = clustered.count()
     n_pairs = edges.count()
     headline = time.time() - t0

@@ -49,6 +49,10 @@ class ERConfig:
     # single-file fixtures read as one block; spread them so the feature
     # stages parallelize (real 100TB inputs arrive pre-sharded)
     min_read_partitions: int = 128
+    # sidecar JSON path for the per-block-size timing histogram (reference
+    # all_combiners_time_performance.csv, combiners/common.py:246-261);
+    # None disables collection entirely (zero hot-path cost)
+    timing_report: str | None = None
 
 
 def read_documents(path: str, min_partitions: int = 64):
@@ -156,7 +160,7 @@ def featured_documents(docs_ds, cfg: ERConfig | None = None):
     return out
 
 
-def scored_pairs(featured_ds, cfg: ERConfig | None = None):
+def scored_pairs(featured_ds, cfg: ERConfig | None = None, timing_actor=None):
     """featured docs → scored candidate-pair (edge) table."""
     cfg = cfg or ERConfig()
     # two bounded passes over the materialized featured table: the IDF fold
@@ -183,6 +187,7 @@ def scored_pairs(featured_ds, cfg: ERConfig | None = None):
         all_pairs_cap=cfg.all_pairs_cap,
         posting_cap=cfg.posting_cap,
         tf_dim=cfg.tf_dim,
+        timing_actor=timing_actor,
     )
     if cfg.use_actor_pools:
         # materialize before the pool: a streaming sort-shuffle → autoscaling
@@ -236,7 +241,23 @@ def cluster_documents(docs_path: str, cfg: ERConfig | None = None):
     # cluster attach) — materialize once instead of recomputing the tagger
     featured = featured.materialize()
     _mark("featured")
-    edges_all = scored_pairs(featured, cfg).materialize()
+    timing_actor = None
+    if cfg.timing_report:
+        import ray
+
+        from entity_resolution_ray.state.timings import BlockTimingCollector
+
+        timing_actor = BlockTimingCollector.remote()
+    edges_all = scored_pairs(featured, cfg, timing_actor=timing_actor).materialize()
+    if timing_actor is not None:
+        import ray
+
+        from entity_resolution_ray.state.timings import write_timing_report
+
+        write_timing_report(
+            cfg.timing_report, ray.get(timing_actor.summary.remote())
+        )
+        ray.kill(timing_actor)
     _mark("scored_pairs")
     # accepted stays LAZY: a cheap filter map over the materialized edge
     # table — re-executing it inside the CC passes costs less than another

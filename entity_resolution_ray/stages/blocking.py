@@ -328,7 +328,7 @@ def hot_block_sizes(keys_ds, key_col: str, threshold: int,
 def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
                           shard_size: int = 800, stitch_reps: int = 96,
                           block_sizes=None, num_buckets: int | None = None,
-                          **gen_kwargs):
+                          timing_actor=None, **gen_kwargs):
     """groupby(block_key) → per-block candidate pairs with cosine + weights.
 
     Hot-block salting (north rule): a block-size census finds blocks larger
@@ -367,10 +367,33 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(g)]))
         outs = []
-        for s, e in zip(starts, ends):
-            d = gen.pairs_for_slice(cols, int(s), int(e), "#" in sk[s])
-            if d is not None:
-                outs.append(d)
+        if timing_actor is None:
+            for s, e in zip(starts, ends):
+                d = gen.pairs_for_slice(cols, int(s), int(e), "#" in sk[s])
+                if d is not None:
+                    outs.append(d)
+        else:
+            # per-block-size timing partials (reference avg-time-by-mention-no,
+            # combiners/common.py:246-261): one bounded dict per bucket task
+            import time as _time
+
+            partial: dict[int, list] = {}
+            for s, e in zip(starts, ends):
+                t0 = _time.perf_counter()
+                d = gen.pairs_for_slice(cols, int(s), int(e), "#" in sk[s])
+                dt = _time.perf_counter() - t0
+                size = int(e - s)
+                acc = partial.get(size)
+                if acc is None:
+                    partial[size] = [dt, 1]
+                else:
+                    acc[0] += dt
+                    acc[1] += 1
+                if d is not None:
+                    outs.append(d)
+            ray.get(timing_actor.add.remote(
+                {k: (v[0], v[1]) for k, v in partial.items()}
+            ))
         if not outs:
             return pd.DataFrame(BlockPairGenerator.EMPTY)
         merged = {

@@ -64,3 +64,28 @@ def test_lineage_records_partitions(fixture_1k, tmp_path):
     with open(os.path.join(out, "metrics.json")) as f:
         metrics = json.load(f)
     assert set(metrics["stages"]) == {"featured", "edges", "clusters"}
+
+
+def test_block_timing_sidecar(ray_session, fixture_1k, tmp_path):
+    """Flagship run with timing_report set emits the per-block-size JSON
+    (reference all_combiners_time_performance.csv semantics)."""
+    import json
+    import os
+
+    from entity_resolution_ray.pipelines.er import ERConfig, cluster_documents
+
+    path = str(tmp_path / "block_timing.json")
+    cfg = ERConfig(timing_report=path)
+    clustered, _ = cluster_documents(
+        os.path.join(fixture_1k, "documents.parquet"), cfg
+    )
+    assert clustered.count() == 1000
+    report = json.load(open(path))
+    assert report, "timing report must not be empty"
+    total_blocks = 0
+    for size, row in report.items():
+        assert int(size) >= 1
+        assert row["avg_ms"] >= 0.0
+        assert row["n_blocks"] >= 1
+        total_blocks += row["n_blocks"]
+    assert total_blocks >= 10  # the 1k fixture has many blocks
