@@ -123,7 +123,10 @@ def q_segment_revenue(sf_dir: str):
     per_order = grouped_aggregate(
         li, "o_orderkey", {"order_rev": ("revenue", "sum")}
     )
-    j1 = hash_join(per_order, orders, on="o_orderkey")
+    # orders is data-proportional too: broadcast only at benchmark scale,
+    # partitioned hash join once it crosses the cap
+    j1 = size_gated_join(per_order, orders, on="o_orderkey",
+                         broadcast_cap=2_000_000)
     j1 = j1.map_batches(
         lambda t: pa.table(
             {"c_custkey": t["o_custkey"], "order_rev": t["order_rev"]}

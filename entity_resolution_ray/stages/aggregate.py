@@ -41,6 +41,47 @@ def grouped_aggregate(ds, keys, agg: dict[str, tuple[str, str]],
         if fn not in _AGG_FNS:
             raise ValueError(f"unsupported agg fn {fn!r} for {out_col!r}")
 
+    # Partial pre-aggregation (the combiner): sum/count/min/max/mean decompose
+    # into per-batch partials + an associative merge, so the bucket shuffle
+    # moves <= one row per (key, batch) instead of every input row.  nunique /
+    # first need the raw rows and skip the combine.
+    combinable = all(fn in ("sum", "count", "size", "min", "max", "mean")
+                     for _, fn in agg.values())
+
+    if combinable:
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            g = batch.groupby(keys, sort=False)
+            cols = {}
+            for out_col, (in_col, fn) in agg.items():
+                if fn in ("count", "size"):
+                    cols[f"{out_col}__cnt"] = g.size()
+                elif fn == "mean":
+                    cols[f"{out_col}__sum"] = g[in_col].sum()
+                    cols[f"{out_col}__cnt"] = g.size()
+                else:
+                    cols[f"{out_col}__{fn}"] = g[in_col].agg(fn)
+            return _add_bucket(
+                pd.DataFrame(cols).reset_index(), keys, num_buckets)
+
+        def merge(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.groupby(keys, sort=False)
+            cols = {}
+            for out_col, (_in, fn) in agg.items():
+                if fn in ("count", "size"):
+                    cols[out_col] = g[f"{out_col}__cnt"].sum()
+                elif fn == "mean":
+                    cols[out_col] = (g[f"{out_col}__sum"].sum()
+                                     / g[f"{out_col}__cnt"].sum())
+                elif fn == "sum":
+                    cols[out_col] = g[f"{out_col}__sum"].sum()
+                else:  # min / max merge with themselves
+                    cols[out_col] = g[f"{out_col}__{fn}"].agg(fn)
+            return pd.DataFrame(cols).reset_index()
+
+        partials = ds.map_batches(partial, batch_format="pandas")
+        return partials.groupby("__bucket").map_groups(
+            merge, batch_format="pandas")
+
     bucketed = ds.map_batches(
         lambda b: _add_bucket(b, keys, num_buckets), batch_format="pandas"
     )
