@@ -113,6 +113,40 @@ def _ann_lsh(sf_dir: str):
     )
 
 
+def _ann_ivf(sf_dir: str):
+    """IVF index-probing ANN: fit centroids, build the partitioned on-disk
+    index once per (sf_dir, mtime), probe only the closest lists per query."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.ann import (
+        build_ivf_index,
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    src = f"{sf_dir}/embeddings.parquet"
+    tag = f"{abs(hash((os.path.abspath(src), os.path.getmtime(src)))):x}"
+    index_dir = f"/tmp/ivf_index_{tag}"
+    cpath = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(cpath):
+        centroids = np.load(cpath)
+    else:
+        shutil.rmtree(index_dir, ignore_errors=True)
+        ds = rd.read_parquet(src, override_num_blocks=16)
+        centroids = fit_ivf_centroids(ds, nlist=16)
+        build_ivf_index(ds, index_dir, centroids)
+        np.save(cpath, centroids)
+    qds = rd.read_parquet(src, override_num_blocks=16)
+    qdf = qds.sort("vec_id").limit(8).to_pandas()
+    return ivf_topk(
+        index_dir, centroids, qdf["vec_id"].to_numpy(),
+        np.stack(qdf["embedding"].to_list()), k=5, nprobe=4,
+    )
+
+
 def _multimodal_features(sf_dir: str):
     """Media plumbing demo: spans corpus media refs → fake decode features."""
     import os
@@ -402,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_filter": R.q_part_filter,
         "events_hourly": R.q_events_hourly,
         "events_asof": R.q_events_asof,
+        "events_sessions": R.q_events_sessions,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -419,6 +454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_clusters": _dedup_minhash_clusters,
         "simhash_pairs": _simhash_pairs,
         "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
         "multimodal_features": _multimodal_features,
         "er_combiner_baseline": _er_combiner("current_production"),
         "er_combiner_cc": _er_combiner("connected_components"),
@@ -452,6 +488,7 @@ def oracle_sql() -> dict[str, str]:
         "part_filter": R.Q_PART_FILTER_SQL,
         "events_hourly": R.Q_EVENTS_HOURLY_SQL,
         "events_asof": R.Q_EVENTS_ASOF_SQL,
+        "events_sessions": R.Q_EVENTS_SESSIONS_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

@@ -553,3 +553,66 @@ join sizes sa on sa.doc_id = src
 join sizes sb on sb.doc_id = dst
 where i / (sa.n + sb.n - i) >= {JACCARD_TH}
 """
+
+
+# --- 15. session-window aggregation (gap-based stateful window) -------------
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessions(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
+    """Per-user gap-based sessionization: a new session starts when the gap to
+    the previous event (per user, ordered by ts then event_id) exceeds
+    ``gap_minutes``.  One row per session with count / duration / value sum.
+
+    The stateful window is expressed as ``groupby(user_id).map_groups`` with a
+    fully vectorized body (sort → diff → cumsum) — the canonical Ray Data
+    shape for per-key ordered windows.  Partitioning assumption: one user's
+    history fits in a task (true for any bounded per-key cardinality; salt by
+    time range if a single key is unbounded)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        new_sess = np.empty(len(g), dtype=np.int64)
+        if len(g):
+            new_sess[0] = 0
+            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
+        sess_no = np.cumsum(new_sess)
+        g = g.assign(sess_no=sess_no)
+        agg = g.groupby("sess_no", sort=True).agg(
+            n_events=("event_id", "size"),
+            sess_start=("ts", "min"),
+            sess_end=("ts", "max"),
+            sum_value=("value", "sum"),
+        ).reset_index()
+        agg["duration_sec"] = (
+            (agg["sess_end"] - agg["sess_start"]).dt.total_seconds()
+        )
+        agg["sum_value"] = np.round(agg["sum_value"], 4)
+        agg.insert(0, "user_id", g["user_id"].iloc[0])
+        return agg[["user_id", "sess_no", "n_events", "duration_sec", "sum_value"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+Q_EVENTS_SESSIONS_SQL = f"""
+with flagged as (
+  select user_id, event_id, ts, value,
+         case when ts - lag(ts) over w > interval {SESSION_GAP_MIN} minute
+              then 1 else 0 end as new_sess
+  from events
+  window w as (partition by user_id order by ts, event_id)
+),
+numbered as (
+  select *, sum(new_sess) over (partition by user_id order by ts, event_id
+                                rows unbounded preceding) as sess_no
+  from flagged
+)
+select user_id, sess_no::bigint as sess_no, count(*)::bigint as n_events,
+       date_part('epoch', max(ts) - min(ts))::double as duration_sec,
+       round(sum(value), 4) as sum_value
+from numbered
+group by user_id, sess_no
+"""

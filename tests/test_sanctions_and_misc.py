@@ -264,3 +264,69 @@ def test_manual_overlay_entity_type_filter(ray_session):
     ).to_pandas()
     assert (out["type"] == "person").all()
     assert 0 < len(out) < 60
+
+
+def test_ivf_topk_recall_and_pruning(sf_dir, tmp_path):
+    import glob
+
+    import numpy as np
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.ann import (
+        brute_force_topk,
+        build_ivf_index,
+        fit_ivf_centroids,
+        ivf_topk,
+    )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", override_num_blocks=4)
+    centroids = fit_ivf_centroids(ds, nlist=8, iters=5)
+    assert centroids.shape[1] == len(ds.take(1)[0]["embedding"])
+    # centroid fit is deterministic (hash sample + id-ordered init, no RNG)
+    again = fit_ivf_centroids(ds, nlist=8, iters=5)
+    assert np.allclose(centroids, again)
+
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(ds, index_dir, centroids)
+    # every vector landed in exactly one hive partition
+    n_indexed = sum(
+        rd.read_parquet(p).count()
+        for p in glob.glob(f"{index_dir}/ivf_list=*")
+    )
+    assert n_indexed == ds.count()
+
+    qdf = ds.sort("vec_id").limit(4).to_pandas()
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.stack(qdf["embedding"].to_list())
+    exact = brute_force_topk(ds, qids, qmat, k=5).to_pandas()
+
+    # full probe (nprobe = nlist) must recover the exact answer
+    full = ivf_topk(index_dir, centroids, qids, qmat, k=5, nprobe=8).to_pandas()
+    for q in qids:
+        assert set(exact[exact.query_id == q].neighbor_id) == set(
+            full[full.query_id == q].neighbor_id)
+
+    # partial probe trades recall for pruning but stays useful
+    part = ivf_topk(index_dir, centroids, qids, qmat, k=5, nprobe=3).to_pandas()
+    hits = sum(
+        len(set(exact[exact.query_id == q].neighbor_id)
+            & set(part[part.query_id == q].neighbor_id))
+        for q in qids)
+    assert hits / (len(qids) * 5) >= 0.5
+
+
+def test_events_sessions_window(sf_dir):
+    from entity_resolution_ray.pipelines.relational import q_events_sessions
+
+    out = q_events_sessions(sf_dir).to_pandas()
+    assert {"user_id", "sess_no", "n_events", "duration_sec",
+            "sum_value"} <= set(out.columns)
+    # session numbering starts at 0 and is dense per user
+    g = out.groupby("user_id")["sess_no"]
+    assert (g.min() == 0).all()
+    assert (g.max() + 1 == g.count()).all()
+    # event conservation: every input event lands in exactly one session
+    import ray.data as rd
+
+    n_events = rd.read_parquet(f"{sf_dir}/events.parquet").count()
+    assert out["n_events"].sum() == n_events
