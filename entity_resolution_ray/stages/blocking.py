@@ -582,6 +582,9 @@ def grouped_pairs(rows_ds, key_cols, id_col: str = "doc_id", cap: int = 500,
     )
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # singleton keys (the vast majority under LSH banding) emit no pairs:
+        # drop them vectorized before the per-key Python walk
+        group = group[group.duplicated(key_cols, keep=False)]
         outs = []
         for _, g in group.groupby(key_cols, sort=False):
             p = pairs_for_key_group(g, cap=cap, id_col=id_col)

@@ -177,7 +177,14 @@ def jaccard_neardup_pairs(ds, threshold: float = 0.4, num_perm: int = 128,
         lambda t: pa.table({"dst": t["doc_id"], "dst_sh": t["sh"], "dst_n": t["n_sh"]}),
         batch_format="pyarrow",
     )
-    joined = hash_join(hash_join(cand, sh_src, on="src"), sh_dst, on="dst")
+    # bucket count tracks table size: ~32k rows per bucket, so small corpora
+    # don't pay 64 near-empty shuffle tasks per join while 100× data still
+    # partitions (both inputs are materialized — counts are metadata)
+    nb = int(np.clip((cand.count() + sh.count()) // 32768, 4, 256))
+    joined = hash_join(
+        hash_join(cand, sh_src, on="src", num_buckets=nb),
+        sh_dst, on="dst", num_buckets=nb,
+    )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)
