@@ -437,6 +437,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.q_events_hourly,
         "events_asof": R.q_events_asof,
         "events_sessions": R.q_events_sessions,
+        "events_sliding": R.q_events_sliding,
+        "events_topk_user": R.q_events_topk_user,
+        "price_percentiles": R.q_price_percentiles,
+        "events_pivot": R.q_events_pivot,
+        "daily_active": R.q_daily_active,
+        "events_neighbors": R.q_events_neighbors,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -489,6 +495,12 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": R.Q_EVENTS_HOURLY_SQL,
         "events_asof": R.Q_EVENTS_ASOF_SQL,
         "events_sessions": R.Q_EVENTS_SESSIONS_SQL,
+        "events_sliding": R.Q_EVENTS_SLIDING_SQL,
+        "events_topk_user": R.Q_EVENTS_TOPK_USER_SQL,
+        "price_percentiles": R.Q_PRICE_PERCENTILES_SQL,
+        "events_pivot": R.Q_EVENTS_PIVOT_SQL,
+        "daily_active": R.Q_DAILY_ACTIVE_SQL,
+        "events_neighbors": R.Q_EVENTS_NEIGHBORS_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

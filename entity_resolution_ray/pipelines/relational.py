@@ -616,3 +616,143 @@ select user_id, sess_no::bigint as sess_no, count(*)::bigint as n_events,
 from numbered
 group by user_id, sess_no
 """
+
+# --- 16. sliding-window aggregation (windowed analytics tier) ---------------
+SLIDE_WINDOW_H, SLIDE_STEP_H = 6, 1
+
+
+def q_events_sliding(sf_dir: str):
+    """6-hour window sliding hourly, per event_type: count + value sum.
+    Rows are replicated to their windows batch-side (factor 6), then the
+    partial-combining grouped aggregate does ONE shuffle of per-block
+    partials — see stages/windows.py for the scale argument."""
+    from entity_resolution_ray.stages.windows import sliding_window
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return sliding_window(
+        ds, "ts", "event_type", "value",
+        window_s=SLIDE_WINDOW_H * 3600, slide_s=SLIDE_STEP_H * 3600,
+    )
+
+
+Q_EVENTS_SLIDING_SQL = f"""
+with w as (
+  select event_type, value,
+         date_trunc('hour', ts) - k.k * interval 1 hour as window_start
+  from events, (select unnest(generate_series(0, {SLIDE_WINDOW_H - 1})) as k) k
+)
+select event_type, window_start, count(*)::bigint as n_events,
+       round(sum(value), 4) as sum_value
+from w group by event_type, window_start
+"""
+
+
+# --- 17. top-k per group (distributed row_number <= k) ----------------------
+def q_events_topk_user(sf_dir: str, k: int = 3):
+    from entity_resolution_ray.stages.analytics import topk_per_group
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    out = topk_per_group(
+        ds, "user_id", "value", k=k, descending=True, tie_cols=["event_id"]
+    )
+    return out.select_columns(["user_id", "event_id", "value", "rn"])
+
+
+Q_EVENTS_TOPK_USER_SQL = """
+select user_id, event_id, value, rn from (
+  select user_id, event_id, value,
+         row_number() over (partition by user_id
+                            order by value desc, event_id) as rn
+  from events) t
+where rn <= 3
+"""
+
+
+# --- 18. exact grouped percentiles ------------------------------------------
+def q_price_percentiles(sf_dir: str):
+    from entity_resolution_ray.stages.analytics import grouped_percentiles
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+    return grouped_percentiles(
+        ds, "l_returnflag", "l_extendedprice", {"p50": 0.5, "p90": 0.9}
+    )
+
+
+Q_PRICE_PERCENTILES_SQL = """
+select l_returnflag,
+       round(percentile_cont(0.5) within group (order by l_extendedprice), 4)
+         as p50,
+       round(percentile_cont(0.9) within group (order by l_extendedprice), 4)
+         as p90,
+       count(*)::bigint as n
+from lineitem group by l_returnflag
+"""
+
+
+# --- 19. pivoted conditional counts -----------------------------------------
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    from entity_resolution_ray.stages.analytics import pivot_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return pivot_counts(ds, "user_id", "event_type", EVENT_TYPES)
+
+
+Q_EVENTS_PIVOT_SQL = """
+select user_id,
+       count(*) filter (where event_type = 'click')::bigint    as n_click,
+       count(*) filter (where event_type = 'error')::bigint    as n_error,
+       count(*) filter (where event_type = 'purchase')::bigint as n_purchase,
+       count(*) filter (where event_type = 'signup')::bigint   as n_signup,
+       count(*) filter (where event_type = 'view')::bigint     as n_view
+from events group by user_id
+"""
+
+
+# --- 20. exact distinct count per group -------------------------------------
+def q_daily_active(sf_dir: str):
+    from entity_resolution_ray.stages.analytics import distinct_count
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "user_id"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "day", pc.floor_temporal(batch["ts"], unit="day")
+        ).drop_columns(["ts"])
+
+    days = ds.map_batches(add_day, batch_format="pyarrow")
+    return distinct_count(days, ["event_type", "day"], "user_id", "n_users")
+
+
+Q_DAILY_ACTIVE_SQL = """
+select event_type, date_trunc('day', ts) as day,
+       count(distinct user_id)::bigint as n_users
+from events group by event_type, day
+"""
+
+
+# --- 21. banded interval self-join (range join) -----------------------------
+NEIGHBOR_RADIUS_MIN = 5
+
+
+def q_events_neighbors(sf_dir: str):
+    """Per event: count of same-user events within ±5 minutes (range join,
+    banded by time so it never goes all-pairs)."""
+    from entity_resolution_ray.stages.windows import interval_neighbor_count
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return interval_neighbor_count(
+        ds, "user_id", "ts", "event_id", radius_s=NEIGHBOR_RADIUS_MIN * 60
+    )
+
+
+Q_EVENTS_NEIGHBORS_SQL = f"""
+select a.event_id, count(b.event_id)::bigint as n_neighbors
+from events a left join events b
+  on a.user_id = b.user_id and b.event_id <> a.event_id
+ and b.ts between a.ts - interval {NEIGHBOR_RADIUS_MIN} minute
+              and a.ts + interval {NEIGHBOR_RADIUS_MIN} minute
+group by a.event_id
+"""

@@ -1,0 +1,193 @@
+"""Time-window operators: sliding-window aggregation and a banded interval
+self-join (range join).
+
+Both are single-logical-shuffle compositions designed for the streaming
+executor:
+
+* ``sliding_window`` replicates each row to the (window/slide) windows that
+  contain it inside ``map_batches`` (vectorized ``np.repeat``), then runs the
+  partial-combining ``grouped_aggregate``.  The shuffle moves at most one
+  partial row per (key, window, input block) — never the replicated events.
+  Replication factor is the bounded constant window/slide (e.g. 6 for a
+  6h/1h window), so this holds at any data scale.
+
+* ``interval_neighbor_count`` is the classic banded range join: time is cut
+  into bands of width = radius; the build side lands in its home band, the
+  probe side is replicated to the 3 candidate bands, and the exact predicate
+  |Δts| ≤ radius is verified inside each (key, band) group with a sorted
+  ``searchsorted`` count — no per-row Python, no all-pairs.  Partitioning
+  assumption: one (key, band) group fits in a task; salt hot keys by
+  sub-band if a single key×band is unbounded.
+
+Reference anchor: the reference's windowed/temporal handling lives in its
+date/time standardisation visitors (am_combiner/features/frontend.py) and the
+annotation time joins; these operators generalize that tier to streaming
+window analytics over an events table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .aggregate import grouped_aggregate
+
+
+def sliding_window(
+    ds,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window_s: int,
+    slide_s: int,
+    num_buckets: int = 64,
+):
+    """Per-(key, window_start) count + sum over a sliding window.
+
+    ``window_s`` must be a multiple of ``slide_s``; each row contributes to
+    exactly ``window_s // slide_s`` windows whose starts are the ``slide``-
+    aligned instants in ``(ts - window, ts]``.
+    """
+    if window_s % slide_s:
+        raise ValueError("window_s must be a multiple of slide_s")
+    k = window_s // slide_s
+    slide_ns = np.int64(slide_s) * 1_000_000_000
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        ts_ns = ts.astype("datetime64[ns]").astype(np.int64)
+        base = (ts_ns // slide_ns) * slide_ns  # slide-aligned floor
+        n = len(ts_ns)
+        idx = np.repeat(np.arange(n), k)
+        offs = np.tile(np.arange(k, dtype=np.int64), n) * slide_ns
+        starts = base[idx] - offs
+        return pa.table(
+            {
+                key_col: batch[key_col].take(pa.array(idx)),
+                "window_start": pa.array(
+                    starts.astype("datetime64[ns]"), pa.timestamp("ns")
+                ),
+                value_col: batch[value_col].take(pa.array(idx)),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    out = grouped_aggregate(
+        exploded,
+        [key_col, "window_start"],
+        {
+            "n_events": (value_col, "size"),
+            "sum_value": (value_col, "sum"),
+        },
+        num_buckets=num_buckets,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[[key_col, "window_start", "n_events", "sum_value"]].copy()
+        batch["sum_value"] = np.round(batch["sum_value"], 4)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def interval_neighbor_count(
+    ds,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    radius_s: int,
+    num_buckets: int = 64,
+):
+    """For every row: how many OTHER rows with the same key fall within
+    ±radius seconds.  Emits (id_col, n_neighbors) for every input row,
+    including zero-neighbor rows (left-join semantics)."""
+    radius_ns = np.int64(radius_s) * 1_000_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        ts_ns = ts.astype("datetime64[ns]").astype(np.int64)
+        band = ts_ns // radius_ns
+        n = len(ts_ns)
+        # build copy: home band only; probe copies: bands band-1, band, band+1
+        idx = np.concatenate([np.arange(n)] * 4)
+        bands = np.concatenate([band, band - 1, band, band + 1])
+        side = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(3 * n, np.int8)]
+        )
+        key = batch[key_col].take(pa.array(idx)).to_numpy(zero_copy_only=False)
+        bucket = (
+            key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            + bands.astype(np.uint64)
+        ) % np.uint64(num_buckets)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(idx)),
+                key_col: batch[key_col].take(pa.array(idx)),
+                "__ts_ns": pa.array(ts_ns[idx]),
+                "__band": pa.array(bands),
+                "__side": pa.array(side),
+                "__bucket": pa.array(bucket.astype(np.int64)),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    def _segments(k: np.ndarray, b: np.ndarray):
+        chg = np.flatnonzero((np.diff(k) != 0) | (np.diff(b) != 0))
+        starts = np.concatenate([[0], chg + 1])
+        ends = np.concatenate([chg + 1, [len(k)]])
+        return starts, ends
+
+    def count_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        side = group["__side"].to_numpy()
+        key = group[key_col].to_numpy()
+        band = group["__band"].to_numpy()
+        ts = group["__ts_ns"].to_numpy()
+        ids = group[id_col].to_numpy()
+        isb = side == 0
+        bk, bb, bt = key[isb], band[isb], ts[isb]
+        ob = np.lexsort((bt, bb, bk))
+        bk, bb, bt = bk[ob], bb[ob], bt[ob]
+        pk, pb, pt, pid = key[~isb], band[~isb], ts[~isb], ids[~isb]
+        op = np.lexsort((pt, pb, pk))
+        pk, pb, pt, pid = pk[op], pb[op], pt[op], pid[op]
+        if not len(pt):
+            return pd.DataFrame(
+                {id_col: pid, "n_neighbors": np.zeros(0, np.int64)}
+            )
+        cnt = np.zeros(len(pt), np.int64)
+        if len(bt):
+            bs, be = _segments(bk, bb)
+            ps, pe = _segments(pk, pb)
+            # align probe segments to build segments on (key, band) with a
+            # small C-speed merge over segment heads (≤ one row per group)
+            m = pd.DataFrame(
+                {"k": pk[ps], "b": pb[ps], "ps": ps, "pe": pe}
+            ).merge(
+                pd.DataFrame({"k": bk[bs], "b": bb[bs], "s": bs, "e": be}),
+                on=["k", "b"],
+                how="inner",
+            )
+            for p0, p1, s0, s1, b_ in m[["ps", "pe", "s", "e", "b"]].itertuples(
+                index=False
+            ):
+                seg = bt[s0:s1]
+                q = pt[p0:p1]
+                c = np.searchsorted(seg, q + radius_ns, side="right") - \
+                    np.searchsorted(seg, q - radius_ns, side="left")
+                # a probe's own build copy lives exactly in its home band
+                # (__band == floor(ts/radius)); subtract that self-match
+                cnt[p0:p1] = c - (q // radius_ns == b_)
+        return pd.DataFrame(
+            {id_col: pid, "n_neighbors": cnt}
+        )
+
+    per_band = tagged.groupby("__bucket").map_groups(
+        count_in_bucket, batch_format="pandas"
+    )
+    # 3 partial rows per id (one per visited band) → tiny final sum
+    return grouped_aggregate(
+        per_band, id_col, {"n_neighbors": ("n_neighbors", "sum")},
+        num_buckets=max(8, num_buckets // 4),
+    )

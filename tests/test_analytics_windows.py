@@ -1,0 +1,172 @@
+"""Unit tests for the analytic aggregates (stages/analytics.py) and window
+operators (stages/windows.py) against brute-force pandas/DuckDB truth."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from entity_resolution_ray.stages.analytics import (
+    distinct_count,
+    grouped_percentiles,
+    pivot_counts,
+    topk_per_group,
+)
+from entity_resolution_ray.stages.windows import (
+    interval_neighbor_count,
+    sliding_window,
+)
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(7)
+    n = 5000
+    return pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "k": rng.integers(0, 40, n).astype(np.int64),
+            "v": np.round(rng.normal(100, 25, n), 2),
+            "cat": rng.choice(["a", "b", "c"], n),
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 86_400 * 3, n), unit="s"),
+        }
+    )
+
+
+def _sorted(df):
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def test_topk_per_group(frame):
+    out = topk_per_group(
+        rd.from_pandas(frame, override_num_blocks=7),
+        "k", "v", k=4, descending=True, tie_cols=["id"],
+    ).to_pandas()
+    truth = duckdb.sql(
+        """select id, k, v, cat, ts, rn from (
+             select *, row_number() over (partition by k
+                        order by v desc, id) as rn from frame) t
+           where rn <= 4"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(truth), check_dtype=False
+    )
+
+
+def test_grouped_percentiles(frame):
+    out = grouped_percentiles(
+        rd.from_pandas(frame, override_num_blocks=7),
+        "cat", "v", {"p25": 0.25, "p50": 0.5, "p99": 0.99},
+    ).to_pandas()
+    for _, row in out.iterrows():
+        vals = frame.loc[frame["cat"] == row["cat"], "v"].to_numpy()
+        assert row["n"] == len(vals)
+        for name, q in [("p25", 0.25), ("p50", 0.5), ("p99", 0.99)]:
+            assert row[name] == pytest.approx(
+                np.quantile(vals, q, method="linear"), abs=1e-4
+            )
+
+
+def test_grouped_percentiles_edge_single_value():
+    df = pd.DataFrame({"g": ["x", "x", "y"], "v": [5.0, 5.0, 7.0]})
+    out = grouped_percentiles(
+        rd.from_pandas(df), "g", "v", {"p50": 0.5}
+    ).to_pandas().set_index("g")
+    assert out.loc["x", "p50"] == 5.0 and out.loc["y", "p50"] == 7.0
+
+
+def test_pivot_counts(frame):
+    out = pivot_counts(
+        rd.from_pandas(frame, override_num_blocks=7),
+        "k", "cat", ["a", "b", "c"],
+    ).to_pandas()
+    truth = frame.pivot_table(
+        index="k", columns="cat", values="id", aggfunc="size", fill_value=0
+    ).rename(columns=lambda c: f"n_{c}").reset_index()
+    truth.columns.name = None
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(truth), check_dtype=False
+    )
+
+
+def test_distinct_count(frame):
+    out = distinct_count(
+        rd.from_pandas(frame, override_num_blocks=7), "cat", "k", "nk"
+    ).to_pandas()
+    truth = (
+        frame.groupby("cat")["k"].nunique().rename("nk").reset_index()
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(truth), check_dtype=False
+    )
+
+
+def test_sliding_window_matches_bruteforce(frame):
+    out = sliding_window(
+        rd.from_pandas(frame, override_num_blocks=7),
+        "ts", "cat", "v", window_s=4 * 3600, slide_s=3600,
+    ).to_pandas()
+    rows = []
+    for kk in range(4):
+        w = frame.copy()
+        w["window_start"] = w["ts"].dt.floor("h") - pd.to_timedelta(kk, unit="h")
+        rows.append(w)
+    truth = (
+        pd.concat(rows)
+        .groupby(["cat", "window_start"])
+        .agg(n_events=("v", "size"), sum_value=("v", "sum"))
+        .reset_index()
+    )
+    truth["sum_value"] = np.round(truth["sum_value"], 4)
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(truth), check_dtype=False
+    )
+
+
+def test_sliding_window_rejects_nondivisible(frame):
+    with pytest.raises(ValueError):
+        sliding_window(rd.from_pandas(frame), "ts", "cat", "v", 5000, 3600)
+
+
+def test_interval_neighbor_count(frame):
+    out = (
+        interval_neighbor_count(
+            rd.from_pandas(frame, override_num_blocks=7),
+            "k", "ts", "id", radius_s=900,
+        )
+        .to_pandas()
+        .set_index("id")["n_neighbors"]
+        .sort_index()
+    )
+    # brute force
+    truth = np.zeros(len(frame), np.int64)
+    for _, g in frame.groupby("k"):
+        t = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        d = np.abs(t[:, None] - t[None, :]) <= 900 * 1_000_000_000
+        truth[g["id"].to_numpy()] = d.sum(1) - 1
+    assert len(out) == len(frame)
+    assert (out.to_numpy() == truth).all()
+
+
+def test_interval_neighbor_boundary_inclusive():
+    df = pd.DataFrame(
+        {
+            "id": np.arange(3, dtype=np.int64),
+            "k": np.zeros(3, np.int64),
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:05:00",
+                 "2024-01-01 00:10:01"]
+            ),
+        }
+    )
+    out = (
+        interval_neighbor_count(rd.from_pandas(df), "k", "ts", "id", 300)
+        .to_pandas().set_index("id")["n_neighbors"].sort_index()
+    )
+    # 0↔1 exactly 300s apart (inclusive); 1↔2 is 301s (excluded)
+    assert out.tolist() == [1, 1, 0]
