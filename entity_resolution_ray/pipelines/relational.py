@@ -756,3 +756,14 @@ from events a left join events b
               and a.ts + interval {NEIGHBOR_RADIUS_MIN} minute
 group by a.event_id
 """
+
+# --- 22. HLL approximate distinct (sketch tier; no SQL oracle — approx) -----
+def q_approx_distinct_parts(sf_dir: str):
+    """±1.6%-error distinct l_partkey per returnflag via mergeable HLL
+    registers (fixed 4 KiB per (key, block) on the wire regardless of value
+    cardinality — the 100-TB tier where exact distinct would shuffle the
+    distinct set itself)."""
+    from entity_resolution_ray.stages.sketches import hll_distinct
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
+    return hll_distinct(ds, "l_returnflag", "l_partkey", out_col="n_approx")

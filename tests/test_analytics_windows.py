@@ -170,3 +170,27 @@ def test_interval_neighbor_boundary_inclusive():
     )
     # 0↔1 exactly 300s apart (inclusive); 1↔2 is 301s (excluded)
     assert out.tolist() == [1, 1, 0]
+
+
+def test_hll_distinct_accuracy_and_determinism(frame):
+    from entity_resolution_ray.stages.sketches import hll_distinct
+
+    big = pd.concat([frame] * 4, ignore_index=True)
+    big["val"] = np.arange(len(big)) % 3777  # ~3777 distinct per cat
+    ds = rd.from_pandas(big, override_num_blocks=9)
+    out1 = hll_distinct(ds, "cat", "val").to_pandas().set_index("cat")
+    out2 = hll_distinct(ds, "cat", "val").to_pandas().set_index("cat")
+    truth = big.groupby("cat")["val"].nunique()
+    for c in truth.index:
+        rel = abs(out1.loc[c, "n_approx"] - truth[c]) / truth[c]
+        assert rel < 0.05, (c, out1.loc[c, "n_approx"], truth[c])
+        assert out1.loc[c, "n_approx"] == out2.loc[c, "n_approx"]
+
+
+def test_hll_small_range_linear_counting():
+    from entity_resolution_ray.stages.sketches import hll_distinct
+
+    df = pd.DataFrame({"g": ["z"] * 1000, "v": np.arange(1000) % 37})
+    out = hll_distinct(rd.from_pandas(df), "g", "v").to_pandas()
+    # linear-counting regime: tiny cardinalities are near-exact
+    assert abs(int(out["n_approx"].iloc[0]) - 37) <= 1
