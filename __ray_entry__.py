@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _ann_ivf,
         "multimodal_features": _multimodal_features,
         "approx_distinct_parts": R.q_approx_distinct_parts,
+        "embedding_neardup_lsh": R.q_embedding_neardup_lsh,
         "er_combiner_baseline": _er_combiner("current_production"),
         "er_combiner_cc": _er_combiner("connected_components"),
         "er_combiner_incremental": _er_combiner("pairwise_incremental"),

@@ -767,3 +767,16 @@ def q_approx_distinct_parts(sf_dir: str):
 
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
     return hll_distinct(ds, "l_returnflag", "l_partkey", out_col="n_approx")
+
+# --- 23. LSH-bucketed embedding near-dup (approximate tier; rows-only) ------
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Same predicate as ``embedding_neardup`` (cosine >= 0.45) through the
+    sub-quadratic LSH buckets.  At this low threshold the tuning rule in the
+    operator docstring calls for few planes / many tables (3x12 -> recall
+    ~0.98 at cosine 0.45); precision stays exact via the in-bucket verify."""
+    from entity_resolution_ray.stages.dedup import embedding_neardup_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_neardup_lsh(
+        ds, threshold=0.45, num_planes=3, num_tables=12
+    )

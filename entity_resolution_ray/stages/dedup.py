@@ -373,3 +373,87 @@ def neardup_clusters(pairs_ds, all_ids_ds=None, id_col: str = "doc_id"):
     edges = pairs_ds.map_batches(as_str, batch_format="pyarrow")
     labels = connected_components_labelprop(edges)
     return labels
+
+
+# --- embedding cosine, LSH-bucketed approximate tier ----------------------
+def embedding_neardup_lsh(
+    emb_ds,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    num_tables: int = 8,
+    seed: int = 1234,
+):
+    """Sub-quadratic approximate variant of ``embedding_neardup_pairs``:
+    random-hyperplane signatures bucket the corpus; only rows sharing a
+    (table, signature) bucket are compared, with an exact cosine verify —
+    so precision is exact and only recall is probabilistic.
+
+    A pair at angle θ collides in one table with p = (1 - θ/π)^planes and
+    is found with recall 1 - (1-p)^tables: the defaults (8 planes × 8
+    tables) give ~0.94 at cosine 0.9, ~0.99 at 0.95.  LOWER thresholds need
+    fewer planes / more tables (the caller's trade — documented because
+    cosine-LSH degenerates toward all-pairs as θ → π/2).  Replication
+    factor is num_tables; per-bucket work is |bucket|², so expected cost is
+    n²·tables / 2^planes — pick planes ≈ log2(n / target_bucket) at scale.
+    Plane matrix is regenerated from ``seed`` inside each batch (a few KiB
+    of deterministic numpy — cheaper than shipping state), so results are
+    reproducible across runs and block orders.
+    """
+
+    def signatures(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(batch[vec_col].to_list()).astype(np.float64)
+        dim = M.shape[1]
+        planes = np.random.default_rng(seed).standard_normal(
+            (dim, num_planes * num_tables)
+        )
+        bits = (M @ planes) > 0
+        weights = (1 << np.arange(num_planes, dtype=np.int64))
+        outs = []
+        for t in range(num_tables):
+            sig = bits[:, t * num_planes:(t + 1) * num_planes] @ weights
+            outs.append(
+                pd.DataFrame(
+                    {
+                        id_col: batch[id_col].to_numpy(),
+                        vec_col: batch[vec_col].to_numpy(),
+                        "__bucket": t * (1 << num_planes) + sig,
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    sigs = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        signatures, batch_format="pandas"
+    )
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+        M = np.stack(group[vec_col].to_list()).astype(np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        sims = M @ M.T
+        ai, bj = np.triu_indices(len(ids), 1)
+        mask = sims[ai, bj] >= threshold
+        ai, bj = ai[mask], bj[mask]
+        s, d = ids[ai], ids[bj]
+        swap = s > d
+        return pd.DataFrame(
+            {
+                "src": np.where(swap, d, s),
+                "dst": np.where(swap, s, d),
+                "cosine": np.round(sims[ai, bj], 6),
+            }
+        )
+
+    cand = sigs.groupby("__bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas"
+    )
+    # the same pair can surface from several tables: keep one
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+
+    return grouped_aggregate(
+        cand, ["src", "dst"], {"cosine": ("cosine", "min")}, num_buckets=16
+    )

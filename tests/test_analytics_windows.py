@@ -194,3 +194,31 @@ def test_hll_small_range_linear_counting():
     out = hll_distinct(rd.from_pandas(df), "g", "v").to_pandas()
     # linear-counting regime: tiny cardinalities are near-exact
     assert abs(int(out["n_approx"].iloc[0]) - 37) <= 1
+
+
+def test_embedding_lsh_neardup_recall_vs_exact():
+    from entity_resolution_ray.stages.dedup import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 32))
+    rows, vid = [], 0
+    for b in base:
+        for _ in range(3):  # 3 jittered copies per base -> cosine ~0.97
+            v = b + rng.standard_normal(32) * 0.12
+            rows.append({"vec_id": vid, "embedding": (v / np.linalg.norm(v)).astype(np.float32).tolist()})
+            vid += 1
+    df = pd.DataFrame(rows)
+    ds = rd.from_pandas(df, override_num_blocks=5)
+    exact = embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    approx = embedding_neardup_lsh(ds, threshold=0.9).to_pandas()
+    approx2 = embedding_neardup_lsh(ds, threshold=0.9).to_pandas()
+    exact_set = set(zip(exact["src"], exact["dst"]))
+    approx_set = set(zip(approx["src"], approx["dst"]))
+    assert approx_set <= exact_set            # exact verify -> precision 1
+    assert len(exact_set) > 100
+    recall = len(approx_set & exact_set) / len(exact_set)
+    assert recall >= 0.85, recall
+    assert approx_set == set(zip(approx2["src"], approx2["dst"]))  # deterministic
