@@ -4,8 +4,11 @@ driver's check).  Usage: python tools/parity_check.py [sf_dir] [query ...]."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
