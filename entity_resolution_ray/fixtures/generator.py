@@ -92,7 +92,7 @@ FIRST_NAMES = FIRST_NAMES + FIRST_EXT
 # capacity: len(FIRST_NAMES)=100 × len(LAST_NAMES)=2440 ≈ 244k distinct
 # names × ~6.6 mentions/name ≈ 1.6M docs — sized for the scaling-efficiency
 # demonstration corpus (BASELINE.md)
-GENERATOR_VERSION = 5  # bump to invalidate cached fixture dirs on code change
+GENERATOR_VERSION = 6  # bump to invalidate cached fixture dirs on code change
 ORG_ADJECTIVES = [
     "Acme", "Borealis", "Cascade", "Dynamo", "Evergreen", "Fairview",
     "Granite", "Horizon", "Ironwood", "Juniper", "Keystone", "Lakeside",
@@ -360,11 +360,24 @@ def generate(out_dir: str, cfg: GeneratorConfig | None = None) -> dict:
                 lp["is_match"].append(members[i][1] == members[j][1])
     lp_table = pa.table({k: pa.array(v) for k, v in lp.items()}, schema=S.LABELED_PAIRS_SCHEMA)
 
-    # small row groups so a single fixture file still reads in parallel
-    pq.write_table(
-        docs_table, os.path.join(out_dir, "documents.parquet"),
-        row_group_size=8192,
-    )
+    # shard the documents table across files: Ray's parquet datasource
+    # parallelizes reads at FILE granularity (a single file is one read
+    # task no matter how many row groups), and the serial read was the
+    # flagship's biggest fixed floor at 200k+ docs.  Real 100 TB inputs
+    # arrive pre-sharded the same way.
+    docs_path = os.path.join(out_dir, "documents.parquet")
+    if os.path.isfile(docs_path):
+        os.remove(docs_path)  # prior single-file layout
+    os.makedirs(docs_path, exist_ok=True)
+    n_rows = docs_table.num_rows
+    n_shards = max(1, min(64, -(-n_rows // 16384)))
+    per = -(-n_rows // n_shards)
+    for i in range(n_shards):
+        pq.write_table(
+            docs_table.slice(i * per, per),
+            os.path.join(docs_path, f"part-{i:04d}.parquet"),
+            row_group_size=8192,
+        )
     pq.write_table(gt_table, os.path.join(out_dir, "ground_truth.parquet"))
     pq.write_table(lp_table, os.path.join(out_dir, "labeled_pairs.parquet"))
 
