@@ -35,14 +35,29 @@ def _er_corpus(sf_dir: str) -> str:
     return fixture_dir_for(_er_docs_for(sf_dir))
 
 
+_CLUSTERED_CACHE: dict[str, object] = {}
+
+
 def _er_clusters(sf_dir: str):
+    """Flagship cluster table, materialized once per process: the sizes
+    histogram (and any later consumer) reuses it instead of re-running the
+    whole blocking/scoring/CC chain."""
     import os
 
     from entity_resolution_ray.pipelines.er import ERConfig, cluster_documents
 
     fx = _er_corpus(sf_dir)
-    clustered, _ = cluster_documents(os.path.join(fx, "documents.parquet"), ERConfig())
-    return clustered.select_columns(["doc_id", "entity_name", "block_key", "cluster_id"])
+    cached = _CLUSTERED_CACHE.get(fx)
+    if cached is None:
+        clustered, _ = cluster_documents(
+            os.path.join(fx, "documents.parquet"), ERConfig()
+        )
+        cached = clustered.select_columns(
+            ["doc_id", "entity_name", "block_key", "cluster_id"]
+        ).materialize()
+        _CLUSTERED_CACHE.clear()  # hold one corpus at a time
+        _CLUSTERED_CACHE[fx] = cached
+    return cached
 
 
 def _er_cluster_sizes(sf_dir: str):
@@ -421,11 +436,17 @@ def _doc_topics(sf_dir: str):
 
 def entry() -> Any:
     """Flagship ER pipeline at smoke scale (Ray already initialised)."""
+    from entity_resolution_ray.tuning import apply_context_defaults
+
+    apply_context_defaults()
     return _er_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from entity_resolution_ray.pipelines import relational as R
+    from entity_resolution_ray.tuning import apply_context_defaults
+
+    apply_context_defaults()
 
     return {
         # relational / analytics operators (SQL-oracled)

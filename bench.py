@@ -50,6 +50,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from entity_resolution_ray.tuning import apply_context_defaults
+
+    apply_context_defaults()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __ray_entry__ as entrymod

@@ -382,9 +382,15 @@ def generate(out_dir: str, cfg: GeneratorConfig | None = None) -> dict:
     pq.write_table(lp_table, os.path.join(out_dir, "labeled_pairs.parquet"))
 
     def _tbl_hash(t: pa.Table) -> str:
+        # stream the Arrow buffers: to_pylist() on a 1.2M-doc table costs
+        # minutes of serial Python; buffer bytes are deterministic for
+        # tables built the same way (which is the only way these are built)
         h = hashlib.blake2b(digest_size=8)
         for col in sorted(t.column_names):
-            h.update(str(t[col].to_pylist()).encode())
+            for chunk in t.column(col).chunks:
+                for buf in chunk.buffers():
+                    if buf is not None:
+                        h.update(buf)
         return h.hexdigest()
 
     manifest = {

@@ -115,6 +115,9 @@ def main(argv=None):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from entity_resolution_ray.tuning import apply_context_defaults
+
+    apply_context_defaults()
     metrics = run_er_job(args.input, args.out)
     print(json.dumps(metrics))
     ray.shutdown()

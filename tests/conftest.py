@@ -17,6 +17,9 @@ def ray_session():
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    from entity_resolution_ray.tuning import apply_context_defaults
+
+    apply_context_defaults()
     yield
     ray.shutdown()
 
