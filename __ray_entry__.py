@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": R.q_events_sliding,
         "events_topk_user": R.q_events_topk_user,
         "price_percentiles": R.q_price_percentiles,
+        "disc_price_percentiles": R.q_disc_price_percentiles,
         "events_pivot": R.q_events_pivot,
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
@@ -521,6 +522,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding": R.Q_EVENTS_SLIDING_SQL,
         "events_topk_user": R.Q_EVENTS_TOPK_USER_SQL,
         "price_percentiles": R.Q_PRICE_PERCENTILES_SQL,
+        "disc_price_percentiles": R.Q_DISC_PRICE_PERCENTILES_SQL,
         "events_pivot": R.Q_EVENTS_PIVOT_SQL,
         "daily_active": R.Q_DAILY_ACTIVE_SQL,
         "events_neighbors": R.Q_EVENTS_NEIGHBORS_SQL,

@@ -780,3 +780,45 @@ def q_embedding_neardup_lsh(sf_dir: str):
     return embedding_neardup_lsh(
         ds, threshold=0.45, num_planes=3, num_tables=12
     )
+
+# --- 24. histogram-refine percentiles over an unbounded continuous value ----
+def q_disc_price_percentiles(sf_dir: str):
+    """Same percentile_cont semantics as q_price_percentiles but over the
+    CONTINUOUS expression l_extendedprice*(1-l_discount) (value cardinality
+    ~= row count), through the histogram-refinement tier that never ships
+    the distinct-value set — see grouped_percentiles_unbounded."""
+    from entity_resolution_ray.stages.analytics import (
+        grouped_percentiles_unbounded,
+    )
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def add_disc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_linestatus": batch["l_linestatus"],
+                "disc_price": pc.multiply(
+                    batch["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+                ),
+            }
+        )
+
+    ds = li.map_batches(add_disc, batch_format="pyarrow")
+    return grouped_percentiles_unbounded(
+        ds, "l_linestatus", "disc_price", {"p50": 0.5, "p90": 0.9}
+    )
+
+
+Q_DISC_PRICE_PERCENTILES_SQL = """
+select l_linestatus,
+       round(percentile_cont(0.5) within group
+             (order by l_extendedprice * (1 - l_discount)), 4) as p50,
+       round(percentile_cont(0.9) within group
+             (order by l_extendedprice * (1 - l_discount)), 4) as p90,
+       count(*)::bigint as n
+from lineitem group by l_linestatus
+"""

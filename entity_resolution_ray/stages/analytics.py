@@ -164,3 +164,198 @@ def distinct_count(
         per_key_partials, keys, {out_col: (out_col, "sum")},
         num_buckets=max(8, num_buckets // 4),
     )
+
+
+def grouped_percentiles_unbounded(
+    ds,
+    keys,
+    value_col: str,
+    quantiles: dict[str, float],
+    round_to: int = 4,
+    bins: int = 512,
+    refine_iters: int = 2,
+    num_buckets: int = 32,
+):
+    """Exact percentile_cont for UNBOUNDED-cardinality continuous values —
+    the scale complement of ``grouped_percentiles`` (which ships one row per
+    distinct value and assumes bounded cardinality).
+
+    Histogram refinement: each pass shuffles only (key, bin) partial counts
+    (bins × keys rows per block), narrows every needed order statistic's
+    value range by ~bins×, then a final pass gathers (value, count) pairs
+    inside the surviving ranges — ~n/bins^iters distinct values per key, no
+    matter how large n is.  Driver-side state is a few floats per
+    (key, quantile): the KEY set must be driver-small (the values need not).
+
+    All ranks are resolved against the true global order (rank_below is
+    tracked per range), so ties and repeated values are exact, and the
+    result equals SQL percentile_cont to float precision.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    import pandas as _pd
+
+    # pass 0: per-key min / max / count
+    base = grouped_aggregate(
+        ds,
+        keys,
+        {"__min": (value_col, "min"), "__max": (value_col, "max"),
+         "__n": (value_col, "size")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    # per (key, needed-order-statistic): rank -> current [lo, hi] + the count
+    # of values strictly below lo.  Start: every rank in [min, max].
+    # state[key_tuple] = list of dicts {rank, lo, hi, below}
+    state: dict = {}
+    for _, row in base.iterrows():
+        kt = tuple(row[k] for k in keys)
+        n = int(row["__n"])
+        ranks = set()
+        for q in quantiles.values():
+            h = (n - 1) * q
+            ranks.add(int(np.floor(h)))
+            ranks.add(int(np.ceil(h)))
+        state[kt] = {
+            "n": n,
+            "stats": [
+                {"rank": r, "lo": float(row["__min"]), "hi": float(row["__max"]),
+                 "below": 0}
+                for r in sorted(ranks)
+            ],
+        }
+
+    def _ranges(st):
+        # merged (lo, hi) spans still being refined, per key
+        return [(s["lo"], s["hi"]) for s in st["stats"] if s["lo"] < s["hi"]]
+
+    for _ in range(refine_iters):
+        # one histogram pass over all keys' open ranges at once
+        edges = {
+            kt: [np.linspace(lo, hi, bins + 1) for lo, hi in _ranges(st)]
+            for kt, st in state.items()
+        }
+        if not any(e for e in edges.values()):
+            break
+
+        def hist_partial(batch: _pd.DataFrame, _edges=edges) -> _pd.DataFrame:
+            out_rows = []
+            for kt, grp_idx in batch.groupby(keys, sort=False).indices.items():
+                kt_t = kt if isinstance(kt, tuple) else (kt,)
+                spans = _edges.get(kt_t)
+                if not spans:
+                    continue
+                v = batch[value_col].to_numpy(np.float64)[grp_idx]
+                for si, e in enumerate(spans):
+                    sub = v[(v >= e[0]) & (v <= e[-1])]
+                    if not len(sub):
+                        continue
+                    # exact comparison-based bin assignment (np.histogram's
+                    # scaled arithmetic can shift edge values by one ulp,
+                    # which would corrupt the exact rank bookkeeping):
+                    # bin b holds e[b] <= v < e[b+1], last bin closed
+                    idx = np.clip(
+                        np.searchsorted(e, sub, side="right") - 1, 0, bins - 1
+                    )
+                    cnt = np.bincount(idx, minlength=bins)
+                    nz = np.flatnonzero(cnt)
+                    for b in nz:
+                        out_rows.append((*kt_t, si, int(b), int(cnt[b])))
+            return _pd.DataFrame(
+                out_rows, columns=keys + ["__span", "__bin", "__cnt"]
+            )
+
+        hist = grouped_aggregate(
+            ds.map_batches(hist_partial, batch_format="pandas"),
+            keys + ["__span", "__bin"],
+            {"__cnt": ("__cnt", "sum")},
+            num_buckets=num_buckets,
+        ).to_pandas()
+
+        for kt, st in state.items():
+            spans = _ranges(st)
+            span_edges = edges[kt]
+            sub = hist[
+                np.logical_and.reduce(
+                    [hist[k].to_numpy() == kv for k, kv in zip(keys, kt)]
+                )
+            ]
+            for si, (lo, hi) in enumerate(spans):
+                e = span_edges[si]
+                counts = np.zeros(bins, np.int64)
+                s2 = sub[sub["__span"].to_numpy() == si]
+                counts[s2["__bin"].to_numpy(np.int64)] = s2["__cnt"].to_numpy(np.int64)
+                cum = np.concatenate([[0], np.cumsum(counts)])
+                for s in st["stats"]:
+                    if not (s["lo"] == lo and s["hi"] == hi and lo < hi):
+                        continue
+                    # find the bin holding order statistic `rank`
+                    local = s["rank"] - s["below"]
+                    b = int(np.searchsorted(cum, local, side="right") - 1)
+                    b = min(max(b, 0), bins - 1)
+                    s["below"] = s["below"] + int(cum[b])
+                    s["lo"], s["hi"] = float(e[b]), float(e[b + 1])
+
+    # final pass: exact (value, count) inside the surviving ranges
+    final_ranges = {
+        kt: sorted({(s["lo"], s["hi"]) for s in st["stats"]})
+        for kt, st in state.items()
+    }
+
+    def gather(batch: _pd.DataFrame, _r=final_ranges) -> _pd.DataFrame:
+        out_rows = []
+        for kt, grp_idx in batch.groupby(keys, sort=False).indices.items():
+            kt_t = kt if isinstance(kt, tuple) else (kt,)
+            spans = _r.get(kt_t)
+            if not spans:
+                continue
+            v = batch[value_col].to_numpy(np.float64)[grp_idx]
+            keep = np.zeros(len(v), bool)
+            for lo, hi in spans:
+                keep |= (v >= lo) & (v <= hi)
+            vals, cnts = np.unique(v[keep], return_counts=True)
+            for val, c in zip(vals, cnts):
+                out_rows.append((*kt_t, float(val), int(c)))
+        return _pd.DataFrame(out_rows, columns=keys + ["__val", "__cnt"])
+
+    gathered = grouped_aggregate(
+        ds.map_batches(gather, batch_format="pandas"),
+        keys + ["__val"],
+        {"__cnt": ("__cnt", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()
+
+    out_rows = []
+    for kt, st in state.items():
+        sub = gathered[
+            np.logical_and.reduce(
+                [gathered[k].to_numpy() == kv for k, kv in zip(keys, kt)]
+            )
+        ].sort_values("__val")
+        vals = sub["__val"].to_numpy()
+        cnts = sub["__cnt"].to_numpy(np.int64)
+        # rank of first occurrence of each gathered value = below(range) +
+        # cumulative counts inside the range; ranges are disjoint and the
+        # 'below' bookkeeping is per range — rebuild rank per stat
+        row = dict(zip(keys, kt))
+        n = st["n"]
+        # order stats by rank
+        def order_stat(rank: int) -> float:
+            # locate the range this rank resolved to
+            for s in st["stats"]:
+                if s["rank"] == rank:
+                    lo, hi, below = s["lo"], s["hi"], s["below"]
+                    m = (vals >= lo) & (vals <= hi)
+                    vv, cc = vals[m], cnts[m]
+                    cum = below + np.cumsum(cc)
+                    i = int(np.searchsorted(cum, rank + 1, side="left"))
+                    return float(vv[min(i, len(vv) - 1)])
+            raise KeyError(rank)
+
+        for name, q in quantiles.items():
+            h = (n - 1) * q
+            lo_r, hi_r = int(np.floor(h)), int(np.ceil(h))
+            xlo, xhi = order_stat(lo_r), order_stat(hi_r)
+            row[name] = np.round(xlo + (h - lo_r) * (xhi - xlo), round_to)
+        row["n"] = n
+        out_rows.append(row)
+    return _pd.DataFrame(out_rows)

@@ -222,3 +222,50 @@ def test_embedding_lsh_neardup_recall_vs_exact():
     recall = len(approx_set & exact_set) / len(exact_set)
     assert recall >= 0.85, recall
     assert approx_set == set(zip(approx2["src"], approx2["dst"]))  # deterministic
+
+
+def test_grouped_percentiles_unbounded_matches_exact(frame):
+    from entity_resolution_ray.stages.analytics import (
+        grouped_percentiles_unbounded,
+    )
+
+    big = frame.copy()
+    big["cont"] = big["v"] * 1.0000001 + np.arange(len(big)) * 1e-9  # ~all distinct
+    ds = rd.from_pandas(big, override_num_blocks=7)
+    out = grouped_percentiles_unbounded(
+        ds, "cat", "cont", {"p10": 0.1, "p50": 0.5, "p95": 0.95},
+        bins=64, refine_iters=2, round_to=6,
+    ).set_index("cat")
+    for c in big["cat"].unique():
+        vals = big.loc[big["cat"] == c, "cont"].to_numpy()
+        assert out.loc[c, "n"] == len(vals)
+        for name, q in [("p10", 0.1), ("p50", 0.5), ("p95", 0.95)]:
+            assert out.loc[c, name] == pytest.approx(
+                np.quantile(vals, q, method="linear"), abs=1e-5
+            )
+
+
+def test_grouped_percentiles_unbounded_ties_and_constant():
+    from entity_resolution_ray.stages.analytics import (
+        grouped_percentiles_unbounded,
+    )
+
+    df = pd.DataFrame(
+        {
+            "g": ["x"] * 1000 + ["y"] * 500,
+            "v": np.concatenate(
+                [np.repeat([1.0, 2.0, 3.0], [400, 300, 300]),  # heavy ties
+                 np.full(500, 7.5)]                            # constant key
+            ),
+        }
+    )
+    out = grouped_percentiles_unbounded(
+        rd.from_pandas(df, override_num_blocks=4), "g", "v",
+        {"p50": 0.5, "p90": 0.9}, bins=16, refine_iters=2,
+    ).set_index("g")
+    for g in ("x", "y"):
+        vals = df.loc[df["g"] == g, "v"].to_numpy()
+        for name, q in [("p50", 0.5), ("p90", 0.9)]:
+            assert out.loc[g, name] == pytest.approx(
+                np.quantile(vals, q, method="linear"), abs=1e-4
+            ), (g, name)
