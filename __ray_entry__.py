@@ -465,6 +465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": R.q_events_pivot,
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
+        "events_rolling": R.q_events_rolling,
+        "customers_without_orders": R.q_customers_without_orders,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -526,6 +528,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": R.Q_EVENTS_PIVOT_SQL,
         "daily_active": R.Q_DAILY_ACTIVE_SQL,
         "events_neighbors": R.Q_EVENTS_NEIGHBORS_SQL,
+        "events_rolling": R.Q_EVENTS_ROLLING_SQL,
+        "customers_without_orders": R.Q_CUSTOMERS_WITHOUT_ORDERS_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

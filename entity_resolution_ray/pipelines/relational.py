@@ -822,3 +822,67 @@ select l_linestatus,
        count(*)::bigint as n
 from lineitem group by l_linestatus
 """
+
+# --- 25. anti join (customers with no orders) -------------------------------
+def q_customers_without_orders(sf_dir: str):
+    """Partitioned anti join — customers with no URGENT order.  The right
+    side ships only deduplicated key columns, never its payload
+    (stages/joins.key_filter_join); the priority filter is pushed into the
+    read side before the key projection."""
+    from entity_resolution_ray.stages.joins import key_filter_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch["o_orderpriority"], "1-URGENT")
+        return pa.table({"c_custkey": batch.filter(mask)["o_custkey"]})
+
+    keys = orders.map_batches(urgent_keys, batch_format="pyarrow")
+    return key_filter_join(cust, keys, on="c_custkey", how="anti")
+
+
+Q_CUSTOMERS_WITHOUT_ORDERS_SQL = """
+select c_custkey, c_name, c_mktsegment
+from customer c
+where not exists (select 1 from orders o
+                  where o.o_custkey = c.c_custkey
+                    and o.o_orderpriority = '1-URGENT')
+"""
+
+
+# --- 26. frame-based rolling mean per key -----------------------------------
+ROLLING_FRAME = 3  # current row + 2 preceding
+
+
+def q_events_rolling(sf_dir: str):
+    """Per-user rolling mean of value over (2 preceding .. current) rows
+    ordered by (ts, event_id) — the frame-window complement of the gap
+    sessions and time-sliding windows; same groupby(key).map_groups shape
+    and per-key-fits-a-task partitioning assumption."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "value"])
+
+    def rolling(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        rm = g["value"].rolling(ROLLING_FRAME, min_periods=1).mean()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "rmean": np.round(rm.to_numpy(), 4),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(rolling, batch_format="pandas")
+
+
+Q_EVENTS_ROLLING_SQL = f"""
+select event_id, user_id,
+       round(avg(value) over (partition by user_id order by ts, event_id
+             rows between {ROLLING_FRAME - 1} preceding and current row), 4)
+         as rmean
+from events
+"""

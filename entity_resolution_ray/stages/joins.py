@@ -176,3 +176,77 @@ def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):
             return pa.Table.from_pandas(merged[out_names], preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(_merge_bucket, batch_format="pyarrow")
+
+
+def key_filter_join(left_ds, right_ds, on, how: str = "semi",
+                    num_buckets: int = 64):
+    """Semi / anti join: keep (``semi``) or drop (``anti``) left rows whose
+    key combination exists on the right.
+
+    The right side contributes only its KEY columns (deduplicated per batch
+    before the shuffle), so the exchange moves the left rows plus at most
+    one key row per (distinct right key, block) — never the right payload.
+    """
+    import pyarrow as pa
+
+    if how not in ("semi", "anti"):
+        raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
+    on = [on] if isinstance(on, str) else list(on)
+
+    l_schema = None
+    for batch in left_ds.iter_batches(batch_size=1, batch_format="pyarrow"):
+        l_schema = batch.schema
+        break
+    l_cols = list(l_schema.names)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        key_df = pd.DataFrame({c: batch[c].to_pandas() for c in on})
+        return batch.append_column(
+            "__bucket", pa.array(_bucket_col(key_df, on, num_buckets))
+        ).append_column("__side", pa.array(np.zeros(len(batch), np.int8)))
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        keys = batch.select(on).to_pandas().drop_duplicates()
+        n = len(keys)
+        cols = {}
+        for name in l_cols:
+            if name in on:
+                cols[name] = pa.Array.from_pandas(
+                    keys[name], type=l_schema.field(name).type
+                )
+            else:
+                cols[name] = pa.nulls(n, l_schema.field(name).type)
+        cols["__bucket"] = pa.array(_bucket_col(keys, on, num_buckets))
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.select_columns(on).map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_l = pc.equal(group["__side"], pa.scalar(0, pa.int8()))
+        lhs = group.filter(is_l).select(l_cols).to_pandas()
+        rkeys = (
+            group.filter(pc.invert(is_l)).select(on).to_pandas().drop_duplicates()
+        )
+        for k in on:
+            target = l_schema.field(k).type.to_pandas_dtype()
+            if lhs[k].dtype != target:
+                lhs[k] = lhs[k].astype(target)
+            if rkeys[k].dtype != target:
+                rkeys[k] = rkeys[k].astype(target)
+        m = lhs.merge(rkeys, on=on, how="left", indicator="__in_right")
+        keep = (m["__in_right"] == "both") if how == "semi" else (
+            m["__in_right"] == "left_only"
+        )
+        out = m.loc[keep, l_cols]
+        if len(out) == 0:
+            return pa.schema(
+                [pa.field(n, l_schema.field(n).type) for n in l_cols]
+            ).empty_table()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")

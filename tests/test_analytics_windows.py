@@ -269,3 +269,23 @@ def test_grouped_percentiles_unbounded_ties_and_constant():
             assert out.loc[g, name] == pytest.approx(
                 np.quantile(vals, q, method="linear"), abs=1e-4
             ), (g, name)
+
+
+def test_key_filter_join_semi_anti(frame):
+    from entity_resolution_ray.stages.joins import key_filter_join
+
+    left = rd.from_pandas(frame, override_num_blocks=5)
+    right = rd.from_pandas(
+        pd.DataFrame({"k": np.array([0, 1, 2, 3, 4, 5, 6, 7], np.int64)}),
+        override_num_blocks=2,
+    )
+    semi = key_filter_join(left, right, on="k", how="semi").to_pandas()
+    anti = key_filter_join(left, right, on="k", how="anti").to_pandas()
+    in_right = frame["k"] < 8
+    assert len(semi) == int(in_right.sum())
+    assert len(anti) == int((~in_right).sum())
+    assert set(semi["k"]) <= set(range(8))
+    assert set(anti["k"]).isdisjoint(set(range(8)))
+    assert sorted(semi.columns) == sorted(frame.columns)
+    with pytest.raises(ValueError):
+        key_filter_join(left, right, on="k", how="outer")
