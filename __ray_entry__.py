@@ -435,11 +435,24 @@ def _doc_topics(sf_dir: str):
 
 
 def entry() -> Any:
-    """Flagship ER pipeline at smoke scale (Ray already initialised)."""
+    """Flagship ER pipeline at smoke scale (Ray already initialised).
+
+    Runs the pipeline directly — deliberately NOT through the process-level
+    ``_CLUSTERED_CACHE`` — so a harness timing repeated ``entry()`` calls
+    measures the pipeline, not a dict lookup."""
+    import os
+
+    from entity_resolution_ray.pipelines.er import ERConfig, cluster_documents
     from entity_resolution_ray.tuning import apply_context_defaults
 
     apply_context_defaults()
-    return _er_clusters("/root/testdata/sf0.001")
+    fx = _er_corpus("/root/testdata/sf0.001")
+    clustered, _ = cluster_documents(
+        os.path.join(fx, "documents.parquet"), ERConfig()
+    )
+    return clustered.select_columns(
+        ["doc_id", "entity_name", "block_key", "cluster_id"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

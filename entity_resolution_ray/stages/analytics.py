@@ -11,8 +11,8 @@ Scale assumptions, stated:
 
 * ``grouped_percentiles`` is EXACT and shuffles one row per distinct
   (key, value) pair — the right tier for bounded-cardinality values
-  (prices, scores, counts).  For unbounded continuous values switch to a
-  two-pass histogram refine (not needed by any current caller).
+  (prices, scores, counts).  For unbounded continuous values use
+  ``grouped_percentiles_unbounded`` (histogram refinement, below).
 * ``topk_per_group`` / ``distinct_count`` bucket by key hash; a single hot
   key holds ≤ (k × num_blocks) / ≤ (its distinct values) rows in one task.
 """
@@ -23,6 +23,14 @@ import numpy as np
 import pandas as pd
 
 from .aggregate import _add_bucket, grouped_aggregate
+
+
+def _round_half_away(x, d: int):
+    """SQL-style round-half-away-from-zero (DuckDB/ANSI): np.round's
+    banker's rounding diverges on exact .5 ties at the target precision —
+    e.g. percentile midpoints of 4-dp money values land on .00005 exactly."""
+    f = 10.0 ** d
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
 
 
 def topk_per_group(
@@ -95,7 +103,7 @@ def grouped_percentiles(
             hi = int(np.ceil(h))
             xlo = v[np.searchsorted(c, lo, side="right")]
             xhi = v[np.searchsorted(c, hi, side="right")]
-            row[name] = np.round(xlo + (h - lo) * (xhi - xlo), round_to)
+            row[name] = _round_half_away(xlo + (h - lo) * (xhi - xlo), round_to)
         row["n"] = n
         return pd.DataFrame([row])
 
@@ -117,9 +125,11 @@ def pivot_counts(
     out_cols = [f"{prefix}{v}" for v in values]
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        sub = batch[batch[pivot_col].isin(values)]
+        # group over ALL rows (not just rows matching `values`): a key whose
+        # rows all carry other pivot values must still emit an all-zero row,
+        # exactly like SQL conditional counts grouped over the full table
         p = (
-            sub.groupby(keys + [pivot_col], sort=False)
+            batch.groupby(keys + [pivot_col], sort=False)
             .size()
             .unstack(pivot_col, fill_value=0)
             .reindex(columns=values, fill_value=0)
@@ -355,7 +365,7 @@ def grouped_percentiles_unbounded(
             h = (n - 1) * q
             lo_r, hi_r = int(np.floor(h)), int(np.ceil(h))
             xlo, xhi = order_stat(lo_r), order_stat(hi_r)
-            row[name] = np.round(xlo + (h - lo_r) * (xhi - xlo), round_to)
+            row[name] = _round_half_away(xlo + (h - lo_r) * (xhi - xlo), round_to)
         row["n"] = n
         out_rows.append(row)
     return _pd.DataFrame(out_rows)

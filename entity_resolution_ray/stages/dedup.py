@@ -431,7 +431,13 @@ def embedding_neardup_lsh(
     def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ids = group[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"src": [], "dst": [], "cosine": []})
+            # typed empty frame: all-object dtypes from bare [] lists drift
+            # the block schema and corrupt downstream joins (see memory:
+            # pandas-block dtype drift)
+            return pd.DataFrame(
+                {"src": np.empty(0, ids.dtype), "dst": np.empty(0, ids.dtype),
+                 "cosine": np.empty(0, np.float64)}
+            )
         M = np.stack(group[vec_col].to_list()).astype(np.float64)
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         sims = M @ M.T

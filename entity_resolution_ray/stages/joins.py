@@ -89,6 +89,19 @@ def attach_embeddings(ds, emb_ds, id_col: str = "doc_id",
                            broadcast_cap=broadcast_cap, num_buckets=num_buckets)
 
 
+def _arrow_schema(ds):
+    """True Arrow schema of a Dataset without a full execution (metadata
+    first; one-row sample only for pandas-backed datasets)."""
+    import pyarrow as pa
+
+    s = ds.schema().base_schema
+    if isinstance(s, pa.Schema):
+        return s
+    # pandas-backed dataset: sample one arrow batch for true types
+    batch = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
+    return batch.schema
+
+
 def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):
     """Partitioned hash join of two Datasets on equal-named key columns.
 
@@ -100,14 +113,6 @@ def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):
     import pyarrow as pa
 
     on = [on] if isinstance(on, str) else list(on)
-
-    def _arrow_schema(ds) -> pa.Schema:
-        s = ds.schema().base_schema
-        if isinstance(s, pa.Schema):
-            return s
-        # pandas-backed dataset: sample one arrow batch for true types
-        batch = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
-        return batch.schema
 
     l_schema = _arrow_schema(left_ds)
     r_schema = _arrow_schema(right_ds)
@@ -193,11 +198,9 @@ def key_filter_join(left_ds, right_ds, on, how: str = "semi",
         raise ValueError(f"how must be 'semi' or 'anti', got {how!r}")
     on = [on] if isinstance(on, str) else list(on)
 
-    l_schema = None
-    for batch in left_ds.iter_batches(batch_size=1, batch_format="pyarrow"):
-        l_schema = batch.schema
-        break
+    l_schema = _arrow_schema(left_ds)
     l_cols = list(l_schema.names)
+    out_schema = pa.schema([pa.field(n, l_schema.field(n).type) for n in l_cols])
 
     def tag_left(batch: pa.Table) -> pa.Table:
         key_df = pd.DataFrame({c: batch[c].to_pandas() for c in on})
@@ -206,7 +209,9 @@ def key_filter_join(left_ds, right_ds, on, how: str = "semi",
         ).append_column("__side", pa.array(np.zeros(len(batch), np.int8)))
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        keys = batch.select(on).to_pandas().drop_duplicates()
+        # SQL EXISTS semantics: a NULL key never matches anything — drop
+        # null-keyed right rows so pandas' NaN==NaN merge can't pair them
+        keys = batch.select(on).to_pandas().dropna(subset=on).drop_duplicates()
         n = len(keys)
         cols = {}
         for name in l_cols:
@@ -244,9 +249,14 @@ def key_filter_join(left_ds, right_ds, on, how: str = "semi",
         )
         out = m.loc[keep, l_cols]
         if len(out) == 0:
-            return pa.schema(
-                [pa.field(n, l_schema.field(n).type) for n in l_cols]
-            ).empty_table()
-        return pa.Table.from_pandas(out, preserve_index=False)
+            return out_schema.empty_table()
+        try:
+            # pin the declared schema so every bucket's block concatenates
+            # cleanly (from_pandas alone can drift string/large_string etc.)
+            return pa.Table.from_pandas(
+                out, schema=out_schema, preserve_index=False
+            )
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            return pa.Table.from_pandas(out, preserve_index=False)
 
     return tagged.groupby("__bucket").map_groups(per_bucket, batch_format="pyarrow")

@@ -116,9 +116,13 @@ def interval_neighbor_count(
             [np.zeros(n, np.int8), np.ones(3 * n, np.int8)]
         )
         key = batch[key_col].take(pa.array(idx)).to_numpy(zero_copy_only=False)
+        # dtype-generic key hash (string keys included), same partitioner
+        # family as _bucket_col/_add_bucket elsewhere in the codebase
+        kh = pd.util.hash_pandas_object(
+            pd.Series(key), index=False
+        ).to_numpy(np.uint64)
         bucket = (
-            key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-            + bands.astype(np.uint64)
+            kh * np.uint64(0x9E3779B97F4A7C15) + bands.astype(np.uint64)
         ) % np.uint64(num_buckets)
         return pa.table(
             {
@@ -134,7 +138,8 @@ def interval_neighbor_count(
     tagged = ds.map_batches(tag, batch_format="pyarrow")
 
     def _segments(k: np.ndarray, b: np.ndarray):
-        chg = np.flatnonzero((np.diff(k) != 0) | (np.diff(b) != 0))
+        # elementwise != (not np.diff) so object/string key arrays work
+        chg = np.flatnonzero((k[1:] != k[:-1]) | (b[1:] != b[:-1]))
         starts = np.concatenate([[0], chg + 1])
         ends = np.concatenate([chg + 1, [len(k)]])
         return starts, ends

@@ -289,3 +289,48 @@ def test_key_filter_join_semi_anti(frame):
     assert sorted(semi.columns) == sorted(frame.columns)
     with pytest.raises(ValueError):
         key_filter_join(left, right, on="k", how="outer")
+
+
+def test_interval_neighbor_count_string_keys(frame):
+    from entity_resolution_ray.stages.windows import interval_neighbor_count
+
+    out = (
+        interval_neighbor_count(
+            rd.from_pandas(frame, override_num_blocks=5),
+            "cat", "ts", "id", radius_s=600,
+        ).to_pandas().set_index("id")["n_neighbors"].sort_index()
+    )
+    truth = np.zeros(len(frame), np.int64)
+    for _, g in frame.groupby("cat"):
+        t = g["ts"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        d = np.abs(t[:, None] - t[None, :]) <= 600 * 1_000_000_000
+        truth[g["id"].to_numpy()] = d.sum(1) - 1
+    assert (out.to_numpy() == truth).all()
+
+
+def test_key_filter_join_null_keys_sql_semantics():
+    from entity_resolution_ray.stages.joins import key_filter_join
+
+    left = pd.DataFrame(
+        {"k": pd.array([1, 2, None, 4], dtype="float64"),
+         "payload": ["a", "b", "c", "d"]}
+    )
+    right = pd.DataFrame({"k": pd.array([1.0, None], dtype="float64")})
+    semi = key_filter_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how="semi"
+    ).to_pandas()
+    anti = key_filter_join(
+        rd.from_pandas(left), rd.from_pandas(right), on="k", how="anti"
+    ).to_pandas()
+    # SQL EXISTS: NULL never matches — the null-keyed left row is NOT in
+    # semi, and IS in anti (NOT EXISTS over a null comparand is true)
+    assert sorted(semi["payload"]) == ["a"]
+    assert sorted(anti["payload"]) == ["b", "c", "d"]
+
+
+def test_round_half_away_tie():
+    from entity_resolution_ray.stages.analytics import _round_half_away
+
+    assert _round_half_away(49438.36125, 4) == 49438.3613
+    assert _round_half_away(-49438.36125, 4) == -49438.3613
+    assert _round_half_away(1.23455, 4) == 1.2346
