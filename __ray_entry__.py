@@ -480,6 +480,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_neighbors": R.q_events_neighbors,
         "events_rolling": R.q_events_rolling,
         "customers_without_orders": R.q_customers_without_orders,
+        "orders_window": R.q_orders_window,
+        "events_rank": R.q_events_rank,
+        "pricing_rollup": R.q_pricing_rollup,
+        "customer_order_totals": R.q_customer_order_totals,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -543,6 +547,10 @@ def oracle_sql() -> dict[str, str]:
         "events_neighbors": R.Q_EVENTS_NEIGHBORS_SQL,
         "events_rolling": R.Q_EVENTS_ROLLING_SQL,
         "customers_without_orders": R.Q_CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "orders_window": R.Q_ORDERS_WINDOW_SQL,
+        "events_rank": R.Q_EVENTS_RANK_SQL,
+        "pricing_rollup": R.Q_PRICING_ROLLUP_SQL,
+        "customer_order_totals": R.Q_CUSTOMER_ORDER_TOTALS_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

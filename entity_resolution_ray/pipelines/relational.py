@@ -886,3 +886,156 @@ select event_id, user_id,
          as rmean
 from events
 """
+
+# --- 27. ranked window functions (row_number / cumsum / lag) -----------------
+def q_orders_window(sf_dir: str):
+    """Per-customer order history: position, running spend, previous price —
+    the ranked-window tier (stages/windows.partitioned_window) under a
+    total ORDER BY so ROWS and SQL's default RANGE frames coincide."""
+    from entity_resolution_ray.stages.windows import partitioned_window
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+    out = partitioned_window(
+        ds,
+        "o_custkey",
+        [("o_orderdate", True), ("o_orderkey", True)],
+        {
+            "rn": ("row_number",),
+            "running_spend": ("cumsum", "o_totalprice"),
+            "prev_price": ("lag", "o_totalprice", 1),
+        },
+    )
+    return _round_cols(
+        out.select_columns(
+            ["o_orderkey", "o_custkey", "rn", "running_spend", "prev_price"]
+        ),
+        {"running_spend": 4},
+    )
+
+
+Q_ORDERS_WINDOW_SQL = """
+select o_orderkey, o_custkey,
+       row_number() over w as rn,
+       round(sum(o_totalprice) over w, 4) as running_spend,
+       lag(o_totalprice, 1) over w as prev_price
+from orders
+window w as (partition by o_custkey order by o_orderdate, o_orderkey)
+"""
+
+
+# --- 28. rank / dense_rank / lead with order-by ties -------------------------
+def q_events_rank(sf_dir: str):
+    """Per-user value ranking: rank/dense_rank are tie-invariant on the
+    ORDER BY value alone; lead() needs a total order so event_id joins the
+    sort as a tie column without entering tie detection — the SQL split
+    between rank's peer groups and lead's row order."""
+    from entity_resolution_ray.stages.windows import partitioned_window
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "value"])
+    out = partitioned_window(
+        ds,
+        "user_id",
+        [("value", False)],
+        {
+            "rnk": ("rank",),
+            "drnk": ("dense_rank",),
+            "next_value": ("lead", "value", 1),
+        },
+        tie_cols=["event_id"],
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "rnk", "drnk", "next_value"]
+    )
+
+
+Q_EVENTS_RANK_SQL = """
+select event_id, user_id,
+       rank() over (partition by user_id order by value desc) as rnk,
+       dense_rank() over (partition by user_id order by value desc) as drnk,
+       lead(value, 1) over (partition by user_id
+                            order by value desc, event_id) as next_value
+from events
+"""
+
+
+# --- 29. rollup aggregate (multi-level subtotals in one shuffle) -------------
+def q_pricing_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): finest rows, per-flag
+    subtotals, grand total, each tagged with its grouping level — one
+    bucket shuffle over per-batch partials (stages/analytics
+    .rollup_aggregate), never a second pass over the input."""
+    from entity_resolution_ray.stages.analytics import rollup_aggregate
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice"])
+    out = rollup_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_price": ("l_extendedprice", "sum"),
+            "avg_price": ("l_extendedprice", "mean"),
+            "cnt": ("l_extendedprice", "size"),
+        },
+    )
+    return _round_cols(out, {"sum_qty": 4, "sum_price": 4, "avg_price": 4})
+
+
+Q_PRICING_ROLLUP_SQL = """
+select l_returnflag, l_linestatus,
+       cast(grouping(l_returnflag) + grouping(l_linestatus) as bigint) as lvl,
+       round(sum(l_quantity), 4) as sum_qty,
+       round(sum(l_extendedprice), 4) as sum_price,
+       round(avg(l_extendedprice), 4) as avg_price,
+       count(*) as cnt
+from lineitem
+group by rollup(l_returnflag, l_linestatus)
+"""
+
+
+# --- 30. left join against a pre-aggregated side -----------------------------
+def q_customer_order_totals(sf_dir: str):
+    """Every customer with order count and total spend, zero-filled for
+    customers with no orders: pre-aggregate orders per key FIRST (shuffle
+    moves one row per customer, not per order), then a partitioned left
+    hash join (stages/joins.hash_join how='left')."""
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = grouped_aggregate(
+        orders.map_batches(
+            lambda b: b.rename_columns(["c_custkey", "o_totalprice"]),
+            batch_format="pyarrow",
+        ),
+        "c_custkey",
+        {"n_orders": ("o_totalprice", "size"),
+         "total_spent": ("o_totalprice", "sum")},
+    )
+    joined = hash_join(cust, per_cust, on="c_custkey", how="left")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_orders"] = batch["n_orders"].fillna(0).astype(np.int64)
+        batch["total_spent"] = np.round(
+            batch["total_spent"].fillna(0.0).astype(np.float64), 4
+        )
+        return batch
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+Q_CUSTOMER_ORDER_TOTALS_SQL = """
+select c.c_custkey, c.c_mktsegment,
+       coalesce(o.n_orders, 0) as n_orders,
+       round(coalesce(o.total_spent, 0.0), 4) as total_spent
+from customer c
+left join (select o_custkey, count(*) as n_orders,
+                  sum(o_totalprice) as total_spent
+           from orders group by o_custkey) o
+  on o.o_custkey = c.c_custkey
+"""

@@ -146,6 +146,142 @@ def pivot_counts(
     )
 
 
+def rollup_aggregate(
+    ds,
+    keys,
+    agg: dict[str, tuple[str, str]],
+    lvl_col: str = "lvl",
+    num_buckets: int = 64,
+):
+    """GROUP BY ROLLUP(keys) in one shuffle: every prefix level of ``keys``
+    plus the grand total, with rolled-up key columns set to null and
+    ``lvl_col`` = number of rolled-up keys (== SQL ``GROUPING(k1)+…``,
+    which also keeps genuinely-null data keys distinct from subtotal rows).
+
+    ``agg`` = {out_col: (in_col, fn)}, fn ∈ {sum, count, size, min, max,
+    mean} — the re-aggregatable set: each batch is pre-aggregated at the
+    finest level, the coarser levels are derived from those partials
+    *inside the batch*, and one bucket shuffle merges.  Shuffle volume is
+    ≤ (levels × distinct finest keys per batch) rows, never the input.
+    """
+    import pyarrow as pa
+
+    from .joins import _arrow_schema
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    levels = len(keys)
+    for out_col, (in_col, fn) in agg.items():
+        if fn not in ("sum", "count", "size", "min", "max", "mean"):
+            raise ValueError(f"unsupported rollup fn {fn!r} for {out_col!r}")
+
+    # numeric key columns ride as float64 (NaN = rolled-up) so every block
+    # converts to the same Arrow type; int+None object columns otherwise
+    # resolve per-block to int64 or float64 and the output representation
+    # drifts (the nullable-int story DuckDB's .df() answers the same way)
+    schema = _arrow_schema(ds)
+    numeric_keys = {
+        k for k in keys
+        if pa.types.is_integer(schema.field(k).type)
+        or pa.types.is_floating(schema.field(k).type)
+    }
+
+    def _pin_key_types(f: pd.DataFrame) -> pd.DataFrame:
+        for k in keys:
+            if k in numeric_keys:
+                f[k] = f[k].astype(np.float64)
+            else:
+                col = f[k]
+                f[k] = col.astype(object).where(pd.notna(col), None)
+        return f
+
+    # partial column layout (shared by the in-batch derive and the merge)
+    def _partial_cols(g, src: pd.DataFrame | None):
+        cols = {}
+        for out_col, (in_col, fn) in agg.items():
+            if fn in ("count", "size"):
+                cols[f"{out_col}__cnt"] = (
+                    g.size() if src is None else g[f"{out_col}__cnt"].sum()
+                )
+            elif fn == "mean":
+                cols[f"{out_col}__sum"] = (
+                    g[in_col].sum() if src is None
+                    else g[f"{out_col}__sum"].sum()
+                )
+                cols[f"{out_col}__cnt"] = (
+                    g.size() if src is None else g[f"{out_col}__cnt"].sum()
+                )
+            elif fn == "sum":
+                cols[f"{out_col}__sum"] = (
+                    g[in_col].sum() if src is None
+                    else g[f"{out_col}__sum"].sum()
+                )
+            else:  # min / max merge with themselves
+                cols[f"{out_col}__{fn}"] = (
+                    g[in_col].agg(fn) if src is None
+                    else g[f"{out_col}__{fn}"].agg(fn)
+                )
+        return cols
+
+    pcol_names: list[str] = []
+    for out_col, (_in, fn) in agg.items():
+        if fn in ("count", "size"):
+            pcol_names.append(f"{out_col}__cnt")
+        elif fn == "mean":
+            pcol_names += [f"{out_col}__sum", f"{out_col}__cnt"]
+        else:
+            pcol_names.append(f"{out_col}__{fn}")
+    pcol_names = list(dict.fromkeys(pcol_names))
+
+    def _null_out(f: pd.DataFrame, rolled: list[str]) -> pd.DataFrame:
+        for k in rolled:
+            # object-typed None (not NaN) so the null survives string canon
+            f[k] = pd.Series([None] * len(f), dtype=object)
+        return f
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        finest = pd.DataFrame(
+            _partial_cols(batch.groupby(keys, sort=False, dropna=False), None)
+        ).reset_index()
+        frames = [finest.assign(**{lvl_col: 0})]
+        for lvl in range(1, levels + 1):
+            kept = keys[: levels - lvl]
+            if kept:
+                g = finest.groupby(kept, sort=False, dropna=False)
+                f = pd.DataFrame(_partial_cols(g, finest)).reset_index()
+            else:
+                f = pd.DataFrame([{
+                    name: (finest[name].sum() if name.endswith(("__cnt", "__sum"))
+                           else finest[name].agg(name.rsplit("__", 1)[1]))
+                    for name in pcol_names
+                }])
+            frames.append(_null_out(f, keys[levels - lvl:]).assign(**{lvl_col: lvl}))
+        out = _pin_key_types(
+            pd.concat(frames, ignore_index=True)[keys + [lvl_col] + pcol_names]
+        )
+        return _add_bucket(out, keys + [lvl_col], num_buckets)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(keys + [lvl_col], sort=False, dropna=False)
+        cols = {}
+        for out_col, (_in, fn) in agg.items():
+            if fn in ("count", "size"):
+                cols[out_col] = g[f"{out_col}__cnt"].sum()
+            elif fn == "mean":
+                cols[out_col] = (
+                    g[f"{out_col}__sum"].sum() / g[f"{out_col}__cnt"].sum()
+                )
+            elif fn == "sum":
+                cols[out_col] = g[f"{out_col}__sum"].sum()
+            else:
+                cols[out_col] = g[f"{out_col}__{fn}"].agg(fn)
+        out = _pin_key_types(pd.DataFrame(cols).reset_index())
+        out[lvl_col] = out[lvl_col].astype(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
 def distinct_count(
     ds,
     keys,

@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .aggregate import grouped_aggregate
+from .aggregate import _add_bucket, grouped_aggregate
 
 
 def sliding_window(
@@ -89,6 +89,100 @@ def sliding_window(
         return batch
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def partitioned_window(
+    ds,
+    keys,
+    order_by,
+    specs: dict,
+    tie_cols: list[str] | None = None,
+    num_buckets: int = 64,
+):
+    """General ranked / frame window functions per key partition — the
+    distributed equivalent of ``fn() OVER (PARTITION BY keys ORDER BY
+    order_by)`` for the whole-partition family SQL calls ranked windows.
+
+    ``order_by`` is a list of ``(col, ascending)`` pairs (or bare column
+    names, ascending).  ``specs`` maps output column → spec tuple:
+
+    * ``("row_number",)`` — 1-based position in the partition
+    * ``("rank",)`` / ``("dense_rank",)`` — ties detected on the
+      ``order_by`` columns ONLY (``tie_cols`` break the sort for the
+      sequential functions below without entering tie detection, exactly
+      like SQL where rank is tie-invariant but lag/lead need a total order)
+    * ``("lag", col, offset)`` / ``("lead", col, offset)``
+    * ``("cumsum", col)`` / ``("cummin", col)`` / ``("cummax", col)`` —
+      ROWS UNBOUNDED PRECEDING..CURRENT ROW semantics (make the sort a
+      total order when translating SQL's default RANGE frame)
+
+    One hash-bucket shuffle moves each row once; every partition lands
+    whole in exactly one bucket task and is processed with vectorized
+    pandas/numpy (no per-row Python).  Partitioning assumption: a single
+    key's partition fits in one task — the same contract as SQL's
+    PARTITION BY; salt or pre-aggregate upstream if a key is unbounded.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    order_by = [
+        (o, True) if isinstance(o, str) else (o[0], bool(o[1]))
+        for o in order_by
+    ]
+    tie_cols = tie_cols or []
+    order_cols = [c for c, _ in order_by]
+    sort_cols = keys + order_cols + tie_cols
+    ascending = [True] * len(keys) + [a for _, a in order_by] + [True] * len(
+        tie_cols
+    )
+    for out, spec in specs.items():
+        if spec[0] not in ("row_number", "rank", "dense_rank", "lag", "lead",
+                           "cumsum", "cummin", "cummax"):
+            raise ValueError(f"unsupported window fn {spec[0]!r} for {out!r}")
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        g = g.drop(columns="__bucket").reset_index(drop=True)
+        n = len(g)
+        gb = g.groupby(keys, sort=False)
+        rn = gb.cumcount().to_numpy() + 1
+        need_rank = any(s[0] in ("rank", "dense_rank") for s in specs.values())
+        if need_rank:
+            new_key = rn == 1
+            same_order = np.ones(n, dtype=bool)
+            for c in order_cols:
+                v = g[c].to_numpy()
+                prev_eq = np.concatenate([[False], v[1:] == v[:-1]])
+                both_na = np.concatenate(
+                    [[False], pd.isna(v[1:]) & pd.isna(v[:-1])]
+                )
+                same_order &= prev_eq | both_na
+            new_tie = new_key | ~same_order
+            idx = np.arange(n)
+            tie_start = np.maximum.accumulate(np.where(new_tie, idx, 0))
+            key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        out = g.copy()
+        for name, spec in specs.items():
+            fn = spec[0]
+            if fn == "row_number":
+                out[name] = rn
+            elif fn == "rank":
+                out[name] = rn[tie_start]
+            elif fn == "dense_rank":
+                csum = np.cumsum(new_tie)
+                out[name] = csum - csum[key_start] + 1
+            elif fn in ("lag", "lead"):
+                col, offset = spec[1], (spec[2] if len(spec) > 2 else 1)
+                shift = offset if fn == "lag" else -offset
+                out[name] = gb[col].shift(shift)
+            else:  # cumsum / cummin / cummax
+                out[name] = gb[spec[1]].transform(fn)
+        return out
+
+    tagged = ds.map_batches(
+        lambda b: _add_bucket(b, keys, num_buckets), batch_format="pandas"
+    )
+    return tagged.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
 
 
 def interval_neighbor_count(

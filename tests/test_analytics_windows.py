@@ -334,3 +334,109 @@ def test_round_half_away_tie():
     assert _round_half_away(49438.36125, 4) == 49438.3613
     assert _round_half_away(-49438.36125, 4) == -49438.3613
     assert _round_half_away(1.23455, 4) == 1.2346
+
+
+def test_partitioned_window_vs_duckdb(frame):
+    from entity_resolution_ray.stages.windows import partitioned_window
+
+    out = partitioned_window(
+        rd.from_pandas(frame, override_num_blocks=7),
+        "k",
+        [("v", False)],
+        {
+            "rn": ("row_number",),
+            "rnk": ("rank",),
+            "drnk": ("dense_rank",),
+            "prev_v": ("lag", "v", 1),
+            "next_v": ("lead", "v", 1),
+            "run_sum": ("cumsum", "v"),
+            "run_max": ("cummax", "v"),
+        },
+        tie_cols=["id"],
+        num_buckets=5,
+    ).to_pandas()
+    truth = duckdb.sql(
+        """select *,
+             row_number() over w as rn,
+             rank() over (partition by k order by v desc) as rnk,
+             dense_rank() over (partition by k order by v desc) as drnk,
+             lag(v, 1) over w as prev_v,
+             lead(v, 1) over w as next_v,
+             sum(v) over w as run_sum,
+             max(v) over w as run_max
+           from frame
+           window w as (partition by k order by v desc, id)"""
+    ).df()
+    a, b = _sorted(out), _sorted(truth)
+    for c in ("run_sum",):
+        a[c], b[c] = np.round(a[c], 6), np.round(b[c], 6)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_partitioned_window_rank_ties_exact():
+    from entity_resolution_ray.stages.windows import partitioned_window
+
+    df = pd.DataFrame(
+        {"k": ["x"] * 6, "v": [5, 5, 3, 3, 3, 1],
+         "id": np.arange(6, dtype=np.int64)}
+    )
+    out = (
+        partitioned_window(
+            rd.from_pandas(df), "k", [("v", False)],
+            {"rnk": ("rank",), "drnk": ("dense_rank",),
+             "rn": ("row_number",)},
+            tie_cols=["id"], num_buckets=3,
+        )
+        .to_pandas().sort_values("id")
+    )
+    assert out["rnk"].tolist() == [1, 1, 3, 3, 3, 6]
+    assert out["drnk"].tolist() == [1, 1, 2, 2, 2, 3]
+    assert out["rn"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_rollup_aggregate_vs_duckdb(frame):
+    from entity_resolution_ray.stages.analytics import rollup_aggregate
+
+    out = rollup_aggregate(
+        rd.from_pandas(frame, override_num_blocks=7),
+        ["cat", "k"],
+        {"sum_v": ("v", "sum"), "mean_v": ("v", "mean"),
+         "min_v": ("v", "min"), "max_v": ("v", "max"),
+         "cnt": ("v", "size")},
+        num_buckets=5,
+    ).to_pandas()
+    truth = duckdb.sql(
+        """select cat, k,
+             cast(grouping(cat) + grouping(k) as bigint) as lvl,
+             sum(v) as sum_v, avg(v) as mean_v,
+             min(v) as min_v, max(v) as max_v, count(*) as cnt
+           from frame group by rollup(cat, k)"""
+    ).df()
+    a, b = _sorted(out), _sorted(truth)
+    for c in ("sum_v", "mean_v"):
+        a[c], b[c] = np.round(a[c], 6), np.round(b[c], 6)
+    # canonize nulls (None vs NaN) and rolled-up int keys (None vs NaN float)
+    for c in ("cat", "k"):
+        a[c] = a[c].astype("string")
+        b[c] = b[c].astype("string")
+    pd.testing.assert_frame_equal(
+        a.sort_values(list(a.columns)).reset_index(drop=True),
+        b.sort_values(list(b.columns)).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_rollup_null_data_keys_stay_distinct():
+    """A genuinely-null data key must not be conflated with subtotal rows:
+    lvl keeps them apart, exactly like SQL GROUPING()."""
+    from entity_resolution_ray.stages.analytics import rollup_aggregate
+
+    df = pd.DataFrame({"g": ["a", "a", None, None], "v": [1.0, 2.0, 4.0, 8.0]})
+    out = rollup_aggregate(
+        rd.from_pandas(df), ["g"], {"s": ("v", "sum")}, num_buckets=3
+    ).to_pandas()
+    null_finest = out[(out["lvl"] == 0) & (out["g"].isna())]
+    total = out[out["lvl"] == 1]
+    assert len(out) == 3
+    assert null_finest["s"].iloc[0] == 12.0
+    assert total["s"].iloc[0] == 15.0 and total["g"].isna().all()
