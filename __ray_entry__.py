@@ -484,6 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank": R.q_events_rank,
         "pricing_rollup": R.q_pricing_rollup,
         "customer_order_totals": R.q_customer_order_totals,
+        "orders_cube": R.q_orders_cube,
+        "events_ntile": R.q_events_ntile,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -551,6 +553,8 @@ def oracle_sql() -> dict[str, str]:
         "events_rank": R.Q_EVENTS_RANK_SQL,
         "pricing_rollup": R.Q_PRICING_ROLLUP_SQL,
         "customer_order_totals": R.Q_CUSTOMER_ORDER_TOTALS_SQL,
+        "orders_cube": R.Q_ORDERS_CUBE_SQL,
+        "events_ntile": R.Q_EVENTS_NTILE_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

@@ -1039,3 +1039,67 @@ left join (select o_custkey, count(*) as n_orders,
            from orders group by o_custkey) o
   on o.o_custkey = c.c_custkey
 """
+
+# --- 31. cube aggregate (all-subset subtotals, GROUPING bitmask) -------------
+def q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(o_orderstatus, o_orderpriority): all four grouping
+    subsets in the same single-shuffle pass as the rollup, tagged with the
+    SQL GROUPING bitmask so subsets are unambiguous."""
+    from entity_resolution_ray.stages.analytics import cube_aggregate
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = cube_aggregate(
+        ds,
+        ["o_orderstatus", "o_orderpriority"],
+        {"cnt": ("o_totalprice", "size"),
+         "sum_price": ("o_totalprice", "sum")},
+    )
+    return _round_cols(out, {"sum_price": 4})
+
+
+Q_ORDERS_CUBE_SQL = """
+select o_orderstatus, o_orderpriority,
+       cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+            as bigint) as grp,
+       count(*) as cnt,
+       round(sum(o_totalprice), 4) as sum_price
+from orders
+group by cube(o_orderstatus, o_orderpriority)
+"""
+
+
+# --- 32. ntile / percent_rank / cume_dist ------------------------------------
+def q_events_ntile(sf_dir: str):
+    """Distribution window functions per user: quartile tile over the
+    total order, percent_rank/cume_dist tie-invariant over event_type —
+    two SQL windows served by one sorted pass."""
+    from entity_resolution_ray.stages.windows import partitioned_window
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type"])
+    out = partitioned_window(
+        ds,
+        "user_id",
+        [("event_type", True)],
+        {
+            "tile": ("ntile", 4),
+            "prank": ("percent_rank",),
+            "cdist": ("cume_dist",),
+        },
+        tie_cols=["event_id"],
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "tile", "prank", "cdist"]
+    )
+
+
+Q_EVENTS_NTILE_SQL = """
+select event_id, user_id,
+       ntile(4) over (partition by user_id
+                      order by event_type, event_id) as tile,
+       percent_rank() over w as prank,
+       cume_dist() over w as cdist
+from events
+window w as (partition by user_id order by event_type)
+"""

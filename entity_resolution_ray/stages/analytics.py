@@ -153,23 +153,72 @@ def rollup_aggregate(
     lvl_col: str = "lvl",
     num_buckets: int = 64,
 ):
-    """GROUP BY ROLLUP(keys) in one shuffle: every prefix level of ``keys``
-    plus the grand total, with rolled-up key columns set to null and
-    ``lvl_col`` = number of rolled-up keys (== SQL ``GROUPING(k1)+…``,
-    which also keeps genuinely-null data keys distinct from subtotal rows).
+    """GROUP BY ROLLUP(keys): every prefix level plus the grand total,
+    ``lvl_col`` = number of rolled-up keys (== SQL ``GROUPING(k1)+…``).
+    See ``grouping_sets_aggregate`` for semantics and scale notes."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    specs = [
+        (tuple(keys[: len(keys) - lvl]), lvl) for lvl in range(len(keys) + 1)
+    ]
+    return grouping_sets_aggregate(
+        ds, keys, specs, agg, lvl_col=lvl_col, num_buckets=num_buckets
+    )
+
+
+def cube_aggregate(
+    ds,
+    keys,
+    agg: dict[str, tuple[str, str]],
+    lvl_col: str = "grp",
+    num_buckets: int = 64,
+):
+    """GROUP BY CUBE(keys): every subset of ``keys``, ``lvl_col`` = the SQL
+    GROUPING bitmask (``grouping(k1)*2^(n-1) + … + grouping(kn)``), which —
+    unlike a rolled-count — identifies the subset uniquely even when data
+    keys are genuinely null.  See ``grouping_sets_aggregate``."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    n = len(keys)
+    specs = []
+    for mask in range(2 ** n):
+        kept = tuple(k for i, k in enumerate(keys) if not (mask >> (n - 1 - i)) & 1)
+        specs.append((kept, mask))
+    return grouping_sets_aggregate(
+        ds, keys, specs, agg, lvl_col=lvl_col, num_buckets=num_buckets
+    )
+
+
+def grouping_sets_aggregate(
+    ds,
+    keys,
+    sets: list[tuple],
+    agg: dict[str, tuple[str, str]],
+    lvl_col: str = "grp",
+    num_buckets: int = 64,
+):
+    """GROUP BY GROUPING SETS in ONE shuffle: each entry of ``sets`` is
+    ``(kept_key_columns, lvl_value)`` — rolled-up key columns come back
+    null and ``lvl_col`` carries the given marker (use the SQL GROUPING
+    bitmask so rows from different sets can never be conflated, even when
+    data keys are genuinely null).
 
     ``agg`` = {out_col: (in_col, fn)}, fn ∈ {sum, count, size, min, max,
     mean} — the re-aggregatable set: each batch is pre-aggregated at the
-    finest level, the coarser levels are derived from those partials
-    *inside the batch*, and one bucket shuffle merges.  Shuffle volume is
-    ≤ (levels × distinct finest keys per batch) rows, never the input.
+    finest level (all ``keys``), every requested set is derived from those
+    partials *inside the batch*, and one bucket shuffle merges.  Shuffle
+    volume is ≤ (len(sets) × distinct finest keys per batch) rows, never
+    the input.
     """
     import pyarrow as pa
 
     from .joins import _arrow_schema
 
     keys = [keys] if isinstance(keys, str) else list(keys)
-    levels = len(keys)
+    level_specs = []
+    for kept, lvl in sets:
+        kept = [kept] if isinstance(kept, str) else list(kept)
+        if any(k not in keys for k in kept):
+            raise ValueError(f"grouping set {kept!r} not a subset of {keys!r}")
+        level_specs.append((kept, lvl))
     for out_col, (in_col, fn) in agg.items():
         if fn not in ("sum", "count", "size", "min", "max", "mean"):
             raise ValueError(f"unsupported rollup fn {fn!r} for {out_col!r}")
@@ -242,10 +291,19 @@ def rollup_aggregate(
         finest = pd.DataFrame(
             _partial_cols(batch.groupby(keys, sort=False, dropna=False), None)
         ).reset_index()
-        frames = [finest.assign(**{lvl_col: 0})]
-        for lvl in range(1, levels + 1):
-            kept = keys[: levels - lvl]
-            if kept:
+        if not len(finest):
+            # an empty batch must not fabricate a zero-count total row
+            empty = _pin_key_types(
+                pd.DataFrame({c: [] for c in keys + [lvl_col] + pcol_names})
+            )
+            empty[lvl_col] = empty[lvl_col].astype(np.int64)
+            return _add_bucket(empty, keys + [lvl_col], num_buckets)
+        frames = []
+        for kept, lvl in level_specs:
+            rolled = [k for k in keys if k not in kept]
+            if len(kept) == len(keys):
+                f = finest.copy()
+            elif kept:
                 g = finest.groupby(kept, sort=False, dropna=False)
                 f = pd.DataFrame(_partial_cols(g, finest)).reset_index()
             else:
@@ -254,7 +312,7 @@ def rollup_aggregate(
                            else finest[name].agg(name.rsplit("__", 1)[1]))
                     for name in pcol_names
                 }])
-            frames.append(_null_out(f, keys[levels - lvl:]).assign(**{lvl_col: lvl}))
+            frames.append(_null_out(f, rolled).assign(**{lvl_col: lvl}))
         out = _pin_key_types(
             pd.concat(frames, ignore_index=True)[keys + [lvl_col] + pcol_names]
         )

@@ -115,6 +115,10 @@ def partitioned_window(
     * ``("cumsum", col)`` / ``("cummin", col)`` / ``("cummax", col)`` —
       ROWS UNBOUNDED PRECEDING..CURRENT ROW semantics (make the sort a
       total order when translating SQL's default RANGE frame)
+    * ``("ntile", n)`` — follows the TOTAL order (``order_by`` +
+      ``tie_cols``), as SQL's NTILE is only deterministic over one
+    * ``("percent_rank",)`` / ``("cume_dist",)`` — tie-invariant on the
+      ``order_by`` columns, like rank
 
     One hash-bucket shuffle moves each row once; every partition lands
     whole in exactly one bucket task and is processed with vectorized
@@ -135,7 +139,8 @@ def partitioned_window(
     )
     for out, spec in specs.items():
         if spec[0] not in ("row_number", "rank", "dense_rank", "lag", "lead",
-                           "cumsum", "cummin", "cummax"):
+                           "cumsum", "cummin", "cummax", "ntile",
+                           "percent_rank", "cume_dist"):
             raise ValueError(f"unsupported window fn {spec[0]!r} for {out!r}")
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
@@ -144,7 +149,12 @@ def partitioned_window(
         n = len(g)
         gb = g.groupby(keys, sort=False)
         rn = gb.cumcount().to_numpy() + 1
-        need_rank = any(s[0] in ("rank", "dense_rank") for s in specs.values())
+        need_cnt = any(s[0] in ("ntile", "percent_rank", "cume_dist")
+                       for s in specs.values())
+        if need_cnt:
+            cnt = gb[sort_cols[0]].transform("size").to_numpy(np.int64)
+        need_rank = any(s[0] in ("rank", "dense_rank", "percent_rank",
+                                 "cume_dist") for s in specs.values())
         if need_rank:
             new_key = rn == 1
             same_order = np.ones(n, dtype=bool)
@@ -159,6 +169,12 @@ def partitioned_window(
             idx = np.arange(n)
             tie_start = np.maximum.accumulate(np.where(new_tie, idx, 0))
             key_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+            if any(s[0] == "cume_dist" for s in specs.values()):
+                # last index of each contiguous tie group
+                starts_idx = np.flatnonzero(new_tie)
+                group_id = np.cumsum(new_tie) - 1
+                ends = np.append(starts_idx[1:], n) - 1
+                tie_end = ends[group_id]
         out = g.copy()
         for name, spec in specs.items():
             fn = spec[0]
@@ -169,6 +185,21 @@ def partitioned_window(
             elif fn == "dense_rank":
                 csum = np.cumsum(new_tie)
                 out[name] = csum - csum[key_start] + 1
+            elif fn == "ntile":
+                # SQL NTILE: sizes as equal as possible, the first
+                # (cnt mod n) buckets take the extra row
+                nt = np.int64(spec[1])
+                q, r = cnt // nt, cnt % nt
+                boundary = r * (q + 1)
+                in_big = (rn - 1) < boundary
+                big = (rn - 1) // np.maximum(q + 1, 1)
+                small = r + (rn - 1 - boundary) // np.maximum(q, 1)
+                out[name] = np.where(in_big, big, small) + 1
+            elif fn == "percent_rank":
+                rank = rn[tie_start]
+                out[name] = np.where(cnt > 1, (rank - 1) / np.maximum(cnt - 1, 1), 0.0)
+            elif fn == "cume_dist":
+                out[name] = (tie_end - key_start + 1) / cnt
             elif fn in ("lag", "lead"):
                 col, offset = spec[1], (spec[2] if len(spec) > 2 else 1)
                 shift = offset if fn == "lag" else -offset

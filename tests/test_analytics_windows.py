@@ -440,3 +440,62 @@ def test_rollup_null_data_keys_stay_distinct():
     assert len(out) == 3
     assert null_finest["s"].iloc[0] == 12.0
     assert total["s"].iloc[0] == 15.0 and total["g"].isna().all()
+
+
+def test_partitioned_window_distribution_fns(frame):
+    from entity_resolution_ray.stages.windows import partitioned_window
+
+    out = partitioned_window(
+        rd.from_pandas(frame, override_num_blocks=7),
+        "k", [("cat", True)],
+        {"tile": ("ntile", 3), "prank": ("percent_rank",),
+         "cdist": ("cume_dist",)},
+        tie_cols=["id"], num_buckets=5,
+    ).to_pandas()
+    truth = duckdb.sql(
+        """select *,
+             ntile(3) over (partition by k order by cat, id) as tile,
+             percent_rank() over w as prank,
+             cume_dist() over w as cdist
+           from frame
+           window w as (partition by k order by cat)"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(truth), check_dtype=False
+    )
+
+
+def test_cube_aggregate_vs_duckdb(frame):
+    from entity_resolution_ray.stages.analytics import cube_aggregate
+
+    out = cube_aggregate(
+        rd.from_pandas(frame, override_num_blocks=7),
+        ["cat", "k"],
+        {"cnt": ("v", "size"), "sum_v": ("v", "sum")},
+        num_buckets=5,
+    ).to_pandas()
+    truth = duckdb.sql(
+        """select cat, k,
+             cast(grouping(cat)*2 + grouping(k) as bigint) as grp,
+             count(*) as cnt, sum(v) as sum_v
+           from frame group by cube(cat, k)"""
+    ).df()
+    a, b = _sorted(out), _sorted(truth)
+    a["sum_v"], b["sum_v"] = np.round(a["sum_v"], 6), np.round(b["sum_v"], 6)
+    for c in ("cat", "k"):
+        a[c], b[c] = a[c].astype("string"), b[c].astype("string")
+    pd.testing.assert_frame_equal(
+        a.sort_values(list(a.columns)).reset_index(drop=True),
+        b.sort_values(list(b.columns)).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_grouping_sets_subset_validation(frame):
+    from entity_resolution_ray.stages.analytics import grouping_sets_aggregate
+
+    with pytest.raises(ValueError):
+        grouping_sets_aggregate(
+            rd.from_pandas(frame), ["cat"], [(("nope",), 0)],
+            {"cnt": ("v", "size")},
+        )
