@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_totals": R.q_customer_order_totals,
         "orders_cube": R.q_orders_cube,
         "events_ntile": R.q_events_ntile,
+        "lineitem_unpivot": R.q_lineitem_unpivot,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -555,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_totals": R.Q_CUSTOMER_ORDER_TOTALS_SQL,
         "orders_cube": R.Q_ORDERS_CUBE_SQL,
         "events_ntile": R.Q_EVENTS_NTILE_SQL,
+        "lineitem_unpivot": R.Q_LINEITEM_UNPIVOT_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

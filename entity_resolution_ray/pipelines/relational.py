@@ -1103,3 +1103,29 @@ select event_id, user_id,
 from events
 window w as (partition by user_id order by event_type)
 """
+
+# --- 33. unpivot (wide -> long melt) -----------------------------------------
+def q_lineitem_unpivot(sf_dir: str):
+    """UNPIVOT three measure columns into (metric, val) rows — a pure
+    map_batches melt with no shuffle (stages/analytics.unpivot)."""
+    from entity_resolution_ray.stages.analytics import unpivot
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+    return unpivot(
+        ds,
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+        var_col="metric",
+        value_col="val",
+    )
+
+
+Q_LINEITEM_UNPIVOT_SQL = """
+select l_orderkey, l_linenumber, metric, val
+from (unpivot (select l_orderkey, l_linenumber, l_quantity,
+                      l_extendedprice, l_discount from lineitem)
+      on l_quantity, l_extendedprice, l_discount
+      into name metric value val)
+"""

@@ -340,6 +340,41 @@ def grouping_sets_aggregate(
     return partials.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def unpivot(
+    ds,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "name",
+    value_col: str = "value",
+):
+    """Wide → long melt (SQL UNPIVOT): one output row per (input row,
+    entry of ``value_cols``), with the source column name in ``var_col``
+    and its value cast to float64 in ``value_col``.
+
+    Pure ``map_batches`` — embarrassingly parallel, zero shuffle; the id
+    columns are Arrow ``take``-repeated (no Python rows), so this holds at
+    any scale with output ≈ len(value_cols) × input."""
+    import pyarrow as pa
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        k = len(value_cols)
+        # row-major interleave (row0's k metrics, then row1's …) purely for
+        # readable output; the engine is order-agnostic
+        idx = pa.array(np.repeat(np.arange(n), k))
+        cols = {c: batch[c].take(idx) for c in id_cols}
+        cols[var_col] = pa.array(np.tile(np.array(value_cols, object), n))
+        vals = np.empty(n * k, np.float64)
+        for j, c in enumerate(value_cols):
+            vals[j::k] = batch[c].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+        cols[value_col] = pa.array(vals)
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def distinct_count(
     ds,
     keys,

@@ -499,3 +499,21 @@ def test_grouping_sets_subset_validation(frame):
             rd.from_pandas(frame), ["cat"], [(("nope",), 0)],
             {"cnt": ("v", "size")},
         )
+
+
+def test_unpivot_vs_duckdb(frame):
+    from entity_resolution_ray.stages.analytics import unpivot
+
+    wide = frame.assign(v2=frame["v"] * 2)
+    out = unpivot(
+        rd.from_pandas(wide, override_num_blocks=7),
+        id_cols=["id"], value_cols=["v", "v2"],
+    ).to_pandas()
+    truth = duckdb.sql(
+        """select id, name, value
+           from (unpivot (select id, v, v2 from wide) on v, v2
+                 into name name value value)"""
+    ).df()
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(truth), check_dtype=False
+    )
