@@ -507,6 +507,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _ann_ivf,
         "multimodal_features": _multimodal_features,
         "approx_distinct_parts": R.q_approx_distinct_parts,
+        "approx_price_quantiles": R.q_approx_price_quantiles,
+        "approx_token_topk": R.q_approx_token_topk,
         "embedding_neardup_lsh": R.q_embedding_neardup_lsh,
         "er_combiner_baseline": _er_combiner("current_production"),
         "er_combiner_cc": _er_combiner("connected_components"),

@@ -106,6 +106,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("events_neighbors", None),
         ("daily_active", None),
         ("price_percentiles", None),
+        ("orders_window", None),
+        ("pricing_rollup", None),
     ]
     # scaling mode measures the headline wall only: secondaries at the low
     # CPU level would triple each repeat without informing the ratio

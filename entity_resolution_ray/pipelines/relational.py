@@ -1129,3 +1129,40 @@ from (unpivot (select l_orderkey, l_linenumber, l_quantity,
       on l_quantity, l_extendedprice, l_discount
       into name metric value val)
 """
+
+# --- 34. one-pass approximate quantiles (DDSketch buckets) -------------------
+def q_approx_price_quantiles(sf_dir: str):
+    """Relative-error (±1%) streaming quantiles per return flag — the
+    one-pass mergeable complement of the exact percentile queries; no
+    oracle (approximate by design), error bound pinned in tests."""
+    from entity_resolution_ray.stages.sketches import dd_quantiles
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    return dd_quantiles(
+        ds, "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        keys="l_returnflag", alpha=0.01,
+    )
+
+
+# --- 35. approximate heavy hitters over the token stream ---------------------
+def q_approx_token_topk(sf_dir: str):
+    """Truncate-and-bound heavy hitters over the exploded token stream:
+    bounded memory per task and ≤ k+1 shuffle rows per block no matter the
+    vocabulary size — the sketch tier of token_topk."""
+    from entity_resolution_ray.stages.sketches import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.functions.text import tokenize_words
+
+        toks: list[str] = []
+        for text in batch["text"].to_pylist():
+            toks.extend(tokenize_words(text or ""))
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    return heavy_hitters(
+        ds.map_batches(explode, batch_format="pyarrow"), "token", k=32
+    )

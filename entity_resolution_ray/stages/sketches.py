@@ -92,3 +92,139 @@ def hll_distinct(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby(keys).map_groups(merge, batch_format="pandas")
+
+
+def dd_quantiles(
+    ds,
+    value_col: str,
+    quantiles: dict[str, float],
+    keys=None,
+    alpha: float = 0.01,
+    num_buckets: int = 16,
+):
+    """One-pass approximate quantiles with a RELATIVE error guarantee
+    (DDSketch bucketing: bucket = ceil(log_gamma |x|), gamma=(1+a)/(1-a)) —
+    the streaming complement of the exact two-pass
+    ``analytics.grouped_percentiles_unbounded``.
+
+    Per block each value folds into its log bucket (vectorized), so a block
+    contributes ≤ its distinct-bucket count (~1/alpha per decade) rows to
+    the shuffle regardless of row count; bucket counts merge by plain SUM —
+    associative, commutative, order-independent, so the estimate is
+    deterministic under any block order and safe under re-execution.
+    Returns one row per key (or a single global row) with a column per
+    entry of ``quantiles``; each answer is within ±alpha relative error.
+    """
+    from .aggregate import grouped_aggregate
+
+    keys = [] if keys is None else ([keys] if isinstance(keys, str) else list(keys))
+    gamma = (1 + alpha) / (1 - alpha)
+    lg = np.log(gamma)
+
+    def to_buckets(batch: pd.DataFrame) -> pd.DataFrame:
+        v = batch[value_col].to_numpy(np.float64)
+        v = v[~np.isnan(v)]
+        # signed log bucket; 0 gets its own bucket at idx 0 / sign 0
+        sign = np.sign(v).astype(np.int64)
+        idx = np.zeros(len(v), np.int64)
+        nz = sign != 0
+        idx[nz] = np.ceil(np.log(np.abs(v[nz])) / lg).astype(np.int64)
+        f = batch.loc[~batch[value_col].isna(), keys].copy() if keys else \
+            pd.DataFrame(index=np.arange(len(v)))
+        f["__sign"] = sign
+        f["__b"] = idx
+        return f
+
+    bucketed = ds.map_batches(to_buckets, batch_format="pandas")
+    counts = grouped_aggregate(
+        bucketed, keys + ["__sign", "__b"], {"__cnt": ("__b", "size")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        sign = group["__sign"].to_numpy(np.int64)
+        b = group["__b"].to_numpy(np.int64)
+        cnt = group["__cnt"].to_numpy(np.int64)
+        # ascending value order: negatives by descending bucket, zero, positives
+        # by ascending bucket — integer lexsort (a float combined key loses
+        # the bucket term to the sign term's magnitude)
+        inner = np.where(sign < 0, -b, np.where(sign > 0, b, 0))
+        o = np.lexsort((inner, sign))
+        sign, b, cnt = sign[o], b[o], cnt[o]
+        mid = 2.0 * np.power(gamma, b.astype(np.float64)) / (gamma + 1)
+        vals = sign * np.where(sign == 0, 0.0, mid)
+        c = np.cumsum(cnt)
+        n = int(c[-1])
+        row = {k: group[k].iloc[0] for k in keys}
+        for name, q in quantiles.items():
+            r = max(0, min(n - 1, int(np.ceil(q * (n - 1)))))
+            row[name] = vals[np.searchsorted(c, r, side="right")]
+        row["n"] = n
+        return pd.DataFrame([row])
+
+    if keys:
+        return counts.groupby(keys).map_groups(finish, batch_format="pandas")
+    # global: fold every partial row into one group
+    tagged = counts.map_batches(
+        lambda f: f.assign(__g=0), batch_format="pandas"
+    )
+    out = tagged.groupby("__g").map_groups(
+        lambda g: finish(g.drop(columns="__g")), batch_format="pandas"
+    )
+    return out
+
+
+def heavy_hitters(
+    ds,
+    value_col: str,
+    k: int = 64,
+    num_buckets: int = 16,
+):
+    """Approximate top-k most frequent values with honest count bounds
+    (truncate-and-bound, the mergeable SpaceSaving shape): each block
+    aggregates its values exactly (bounded by block size), keeps its k
+    largest, and records the count of the first value it dropped as that
+    block's error mass.  Partials merge by SUM; a reported value's true
+    count lies in [count_min, count_max] where count_max adds the error
+    mass of every block (it might have been just-under-threshold in each).
+
+    Any value whose true count exceeds the summed error mass is guaranteed
+    to surface.  Memory per task is O(k + block distinct), shuffle volume
+    ≤ (k+1) rows per block — never the corpus' value cardinality.
+    """
+    from .aggregate import grouped_aggregate
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[value_col].value_counts()
+        top = vc.iloc[:k]
+        err = int(vc.iloc[k]) if len(vc) > k else 0
+        f = pd.DataFrame(
+            {value_col: top.index, "__cnt": top.to_numpy(np.int64),
+             "__is_err": np.zeros(len(top), np.int64)}
+        )
+        # one sentinel row per block carries its dropped-count bound
+        f.loc[len(f)] = [None, err, 1]
+        return f
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    merged = grouped_aggregate(
+        partials, [value_col, "__is_err"], {"cnt": ("__cnt", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns="__g")
+        err = int(g.loc[g["__is_err"] == 1, "cnt"].sum())
+        vals = g[g["__is_err"] == 0].nlargest(k, "cnt")
+        return pd.DataFrame(
+            {
+                value_col: vals[value_col].to_numpy(),
+                "count_min": vals["cnt"].to_numpy(np.int64),
+                "count_max": vals["cnt"].to_numpy(np.int64) + err,
+            }
+        )
+
+    tagged = merged.map_batches(
+        lambda f: f.assign(__g=0), batch_format="pandas"
+    )
+    return tagged.groupby("__g").map_groups(finish, batch_format="pandas")

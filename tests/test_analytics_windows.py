@@ -517,3 +517,64 @@ def test_unpivot_vs_duckdb(frame):
     pd.testing.assert_frame_equal(
         _sorted(out), _sorted(truth), check_dtype=False
     )
+
+
+def test_dd_quantiles_relative_error(frame):
+    from entity_resolution_ray.stages.sketches import dd_quantiles
+
+    big = pd.concat([frame] * 4, ignore_index=True)
+    big["v"] = np.abs(big["v"]) + 0.5  # positive, spread over ~2 decades
+    out = dd_quantiles(
+        rd.from_pandas(big, override_num_blocks=9),
+        "v", {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        keys="cat", alpha=0.01,
+    ).to_pandas().set_index("cat")
+    for cat, g in big.groupby("cat"):
+        for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            true = np.quantile(g["v"], q)
+            est = out.loc[cat, name]
+            assert abs(est / true - 1) <= 0.011, (cat, name, est, true)
+    assert (out["n"].sort_index().to_numpy()
+            == big.groupby("cat").size().sort_index().to_numpy()).all()
+
+
+def test_dd_quantiles_global_signed():
+    from entity_resolution_ray.stages.sketches import dd_quantiles
+
+    rng = np.random.default_rng(11)
+    v = np.concatenate([rng.normal(-50, 10, 4000), [0.0] * 100,
+                        rng.normal(200, 40, 6000)])
+    df = pd.DataFrame({"v": v})
+    out = dd_quantiles(
+        rd.from_pandas(df, override_num_blocks=6),
+        "v", {"p10": 0.1, "p50": 0.5, "p95": 0.95}, alpha=0.01,
+    ).to_pandas()
+    assert len(out) == 1 and out["n"].iloc[0] == len(v)
+    for name, q in (("p10", 0.1), ("p50", 0.5), ("p95", 0.95)):
+        true = np.quantile(v, q)
+        est = out[name].iloc[0]
+        assert abs(est - true) <= max(abs(true) * 0.015, 1.0), (name, est, true)
+
+
+def test_heavy_hitters_bounds():
+    from entity_resolution_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    # zipf-ish: a few very hot values over a long tail
+    vals = np.concatenate([
+        np.repeat([f"hot{i}" for i in range(5)], [4000, 3000, 2000, 1500, 1000]),
+        rng.choice([f"cold{i}" for i in range(2000)], 8000),
+    ])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"token": vals})
+    out = heavy_hitters(
+        rd.from_pandas(df, override_num_blocks=8), "token", k=32
+    ).to_pandas()
+    true = df["token"].value_counts()
+    reported = set(out["token"])
+    for i in range(5):
+        assert f"hot{i}" in reported
+    m = out.set_index("token")
+    for i in range(5):
+        t = int(true[f"hot{i}"])
+        assert m.loc[f"hot{i}", "count_min"] <= t <= m.loc[f"hot{i}", "count_max"]
