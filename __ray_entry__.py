@@ -487,6 +487,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": R.q_orders_cube,
         "events_ntile": R.q_events_ntile,
         "lineitem_unpivot": R.q_lineitem_unpivot,
+        "region_revenue": R.q_region_revenue,
+        "fuzzy_part_pairs": R.q_fuzzy_part_pairs,
+        "brand_set_ops": R.q_brand_set_ops,
+        "props_extract": R.q_props_extract,
+        "orders_below_max": R.q_orders_below_max,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -559,6 +564,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": R.Q_ORDERS_CUBE_SQL,
         "events_ntile": R.Q_EVENTS_NTILE_SQL,
         "lineitem_unpivot": R.Q_LINEITEM_UNPIVOT_SQL,
+        "region_revenue": R.Q_REGION_REVENUE_SQL,
+        "fuzzy_part_pairs": R.Q_FUZZY_PART_PAIRS_SQL,
+        "brand_set_ops": R.Q_BRAND_SET_OPS_SQL,
+        "props_extract": R.Q_PROPS_EXTRACT_SQL,
+        "orders_below_max": R.Q_ORDERS_BELOW_MAX_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

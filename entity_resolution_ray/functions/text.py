@@ -255,3 +255,43 @@ def jaro_winkler_batch(a: list[str], b: list[str],
     )
     prefix = np.cumprod(eq, axis=1).sum(axis=1)
     return jaro + prefix * prefix_weight * (1.0 - jaro)
+
+
+def levenshtein_batch(a: list[str], b: list[str], max_len: int = 64) -> np.ndarray:
+    """Batched Levenshtein edit distance, vectorized across PAIRS.
+
+    Classic two-row DP; the (i, j) character loops run in Python but every
+    cell update is an n-vector numpy op, so cost is O(L1·L2) numpy passes
+    over all pairs at once (names are short — L≈12 → ~150 passes).  Strings
+    longer than ``max_len`` are truncated (names, not documents).  Matches
+    DuckDB's ``levenshtein`` (unit insert/delete/substitute costs), which is
+    the oracle for the fuzzy-join query.
+    """
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    la = np.fromiter((min(len(s), max_len) for s in a), np.int64, n)
+    lb = np.fromiter((min(len(s), max_len) for s in b), np.int64, n)
+    La, Lb = int(max(la.max(), 1)), int(max(lb.max(), 1))
+    A = _char_matrix(a, La)
+    B = _char_matrix(b, Lb)
+
+    prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (n, 1))
+    out = np.empty(n, dtype=np.int64)
+    sel = la == 0
+    out[sel] = lb[sel]
+    idx = np.arange(n)
+    for i in range(1, La + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        neq = (B != A[:, i - 1][:, None]).astype(np.int64)
+        for j in range(1, Lb + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + neq[:, j - 1],
+            )
+        prev = cur
+        sel = la == i
+        if sel.any():
+            out[sel] = prev[idx[sel], lb[sel]]
+    return out

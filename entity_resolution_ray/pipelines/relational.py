@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from entity_resolution_ray.stages.aggregate import grouped_aggregate
 from entity_resolution_ray.stages.joins import broadcast_join, hash_join, size_gated_join
 from entity_resolution_ray.stages.textstats import (
     EN_STOPWORDS,
@@ -1166,3 +1167,250 @@ def q_approx_token_topk(sf_dir: str):
     return heavy_hitters(
         ds.map_batches(explode, batch_format="pyarrow"), "token", k=32
     )
+
+
+# --- 36. multi-way join: revenue by region, local suppliers only -------------
+def q_region_revenue(sf_dir: str):
+    """TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer ⋈ supplier ⋈ nation ⋈
+    region with the local-supplier filter (customer and supplier share a
+    nation).  Join order is chosen for scale: the two data-proportional sides
+    (orders, customer) ride ``size_gated_join`` (broadcast at bench scale,
+    partitioned hash join above the cap); after the filter the stream is
+    pre-aggregated down to ≤ 25 nation rows BEFORE the tiny nation/region
+    dimension joins, so the wide stream never carries name columns."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        return pa.table(
+            {"o_orderkey": batch["l_orderkey"], "s_suppkey": batch["l_suppkey"],
+             "revenue": rev}
+        )
+
+    li = li.map_batches(add_rev, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"])
+    j = size_gated_join(li, supp, on="s_suppkey", broadcast_cap=2_000_000)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    j = size_gated_join(j, orders, on="o_orderkey", broadcast_cap=2_000_000)
+    j = j.map_batches(
+        lambda t: pa.table({"c_custkey": t["o_custkey"],
+                            "s_nationkey": t["s_nationkey"],
+                            "revenue": t["revenue"]}),
+        batch_format="pyarrow",
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    j = size_gated_join(j, cust, on="c_custkey", broadcast_cap=2_000_000)
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["s_nationkey"], batch["c_nationkey"])
+        batch = batch.filter(keep)
+        return pa.table(
+            {"n_nationkey": batch["s_nationkey"], "revenue": batch["revenue"]}
+        )
+
+    per_nation = grouped_aggregate(
+        j.map_batches(local_only, batch_format="pyarrow"),
+        "n_nationkey", {"revenue": ("revenue", "sum")}, num_buckets=8,
+    )
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"], blocks=1)
+    region = _read(sf_dir, "region", blocks=1)
+    nation_pd = nation.to_pandas().rename(columns={"n_regionkey": "r_regionkey"})
+    per_nation = broadcast_join(per_nation, nation_pd, on="n_nationkey")
+    per_nation = broadcast_join(per_nation, region.to_pandas(), on="r_regionkey")
+    out = grouped_aggregate(per_nation, "r_name",
+                            {"revenue": ("revenue", "sum")}, num_buckets=1)
+    return _round_cols(out, {"revenue": 2})
+
+
+Q_REGION_REVENUE_SQL = """
+select r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) as revenue
+from lineitem
+join supplier on l_suppkey   = s_suppkey
+join orders   on l_orderkey  = o_orderkey
+join customer on o_custkey   = c_custkey
+join nation   on s_nationkey = n_nationkey
+join region   on n_regionkey = r_regionkey
+where c_nationkey = s_nationkey
+group by r_name
+"""
+
+
+# --- 37. blocked fuzzy string-similarity self-join ---------------------------
+def q_fuzzy_part_pairs(sf_dir: str, max_dist: int = 2):
+    """Fuzzy self-join: count part pairs of the same p_type whose names share
+    a head noun and sit within Levenshtein distance ``max_dist`` — the
+    ER-blocking pattern (block key = (type, last token); in-block vectorized
+    edit distance) on a neutral table.
+
+    Scale design: names repeat heavily, so the quadratic work runs on the
+    DISTINCT-name level — dedupe to (p_type, p_name, cnt) first (one bucketed
+    shuffle, data-proportional), pair DISTINCT names per block with the
+    batched numpy Levenshtein kernel, then recover the row-pair count by
+    count algebra (cnt_a·cnt_b for a<b, C(cnt,2) for a==b) instead of ever
+    materializing the row-level pair explosion (4.2M pairs at sf0.1)."""
+    from entity_resolution_ray.functions.text import levenshtein_batch
+
+    part = _read(sf_dir, "part", columns=["p_type", "p_name"])
+    counts = grouped_aggregate(
+        part, ["p_type", "p_name"], {"cnt": ("p_name", "size")}, num_buckets=8
+    )
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        noun = pc.list_element(pc.split_pattern(batch["p_name"], " "), 1)
+        return batch.append_column("noun", noun)
+
+    counts = counts.map_batches(add_block, batch_format="pyarrow")
+
+    def pairs_in_block(group: pd.DataFrame) -> pd.DataFrame:
+        names = group["p_name"].to_numpy()
+        cnt = group["cnt"].to_numpy(dtype=np.int64)
+        k = len(names)
+        same = (cnt * (cnt - 1) // 2).sum()  # identical names: always dist 0
+        if k > 1:
+            iu, ju = np.triu_indices(k, 1)
+            d = levenshtein_batch(list(names[iu]), list(names[ju]))
+            keep = d <= max_dist
+            same += int((cnt[iu[keep]] * cnt[ju[keep]]).sum())
+        return pd.DataFrame(
+            {"p_type": [group["p_type"].iloc[0]], "fuzzy_pairs": [int(same)]}
+        )
+
+    per_block = counts.groupby(["p_type", "noun"]).map_groups(
+        pairs_in_block, batch_format="pandas"
+    )
+    return grouped_aggregate(
+        per_block, "p_type", {"fuzzy_pairs": ("fuzzy_pairs", "sum")}, num_buckets=1
+    )
+
+
+Q_FUZZY_PART_PAIRS_SQL = """
+select a.p_type, count(*) as fuzzy_pairs
+from part a
+join part b
+  on a.p_type = b.p_type
+ and split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+ and a.p_partkey < b.p_partkey
+where levenshtein(a.p_name, b.p_name) <= 2
+group by a.p_type
+"""
+
+
+# --- 38. set operations (INTERSECT / EXCEPT on distinct key sets) ------------
+def q_brand_set_ops(sf_dir: str):
+    """Distinct-set algebra: brands with an oversize part (p_size >= 48)
+    INTERSECT / EXCEPT brands with a PROMO part.  Both sides derive from the
+    SAME table, so instead of two distinct-projects + semi/anti joins (four
+    shuffles, two scans) each row contributes membership FLAGS and one
+    bucketed max-aggregate resolves both set operations in a single shuffle —
+    the standard rewrite of same-source INTERSECT/EXCEPT into grouped
+    boolean-OR."""
+    part = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": batch["p_brand"],
+            "big": pc.cast(pc.greater_equal(batch["p_size"], 48), pa.int64()),
+            "promo": pc.cast(pc.equal(batch["p_type"], "PROMO"), pa.int64()),
+        })
+
+    agg = grouped_aggregate(
+        part.map_batches(flags, batch_format="pyarrow"), "p_brand",
+        {"big": ("big", "max"), "promo": ("promo", "max")}, num_buckets=4,
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["big"], 1))
+        mem = pc.if_else(
+            pc.equal(batch["promo"], 1),
+            pa.scalar("both"), pa.scalar("oversize_only"),
+        )
+        return pa.table({"p_brand": batch["p_brand"],
+                         "membership": pc.cast(mem, pa.string())})
+
+    return agg.map_batches(label, batch_format="pyarrow")
+
+
+Q_BRAND_SET_OPS_SQL = """
+with big as (select distinct p_brand from part where p_size >= 48),
+     promo as (select distinct p_brand from part where p_type = 'PROMO'),
+     i as (select p_brand from big intersect select p_brand from promo),
+     d as (select p_brand from big except select p_brand from promo)
+select p_brand, 'both' as membership from i
+union all
+select p_brand, 'oversize_only' as membership from d
+"""
+
+
+# --- 39. regex extraction + grouped aggregate --------------------------------
+def q_props_extract(sf_dir: str):
+    """Pull the integer ``k`` out of the JSON-ish ``props`` payload with one
+    RE2 pass per batch (``pyarrow.compute.extract_regex`` — same regex engine
+    as DuckDB's ``regexp_extract``) and aggregate per event type.  sum/count
+    are exact integers; the mean is a single IEEE division on both sides."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        hit = pc.extract_regex(batch["props"], r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(hit, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k})
+
+    ds = ds.map_batches(extract, batch_format="pyarrow")
+    out = grouped_aggregate(
+        ds, "event_type",
+        {"n": ("k", "count"), "sum_k": ("k", "sum"), "avg_k": ("k", "mean")},
+        num_buckets=1,
+    )
+    return _round_cols(out, {"avg_k": 6})
+
+
+Q_PROPS_EXTRACT_SQL = """
+select event_type,
+       count(*)                                                  as n,
+       cast(sum(regexp_extract(props, '"k": ([0-9]+)', 1)::bigint) as bigint) as sum_k,
+       round(avg(regexp_extract(props, '"k": ([0-9]+)', 1)::bigint), 6) as avg_k
+from events
+group by event_type
+"""
+
+
+# --- 40. decorrelated correlated subquery ------------------------------------
+def q_orders_below_max(sf_dir: str):
+    """"Orders strictly below their customer's max order value" — the
+    correlated-subquery shape, decorrelated into a grouped MAX (exact — no
+    float arithmetic, so the comparison cannot flip across engines) joined
+    back against the fact stream, filtered, re-aggregated by status."""
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderstatus", "o_totalprice"])
+    mx = grouped_aggregate(
+        orders, "o_custkey", {"mx": ("o_totalprice", "max")}, num_buckets=16
+    )
+    j = size_gated_join(orders, mx, on="o_custkey", broadcast_cap=2_000_000)
+
+    def below(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["o_totalprice"], batch["mx"])
+        batch = batch.filter(keep)
+        return pa.table({"o_orderstatus": batch["o_orderstatus"],
+                         "o_totalprice": batch["o_totalprice"]})
+
+    out = grouped_aggregate(
+        j.map_batches(below, batch_format="pyarrow"),
+        "o_orderstatus",
+        {"n_below": ("o_totalprice", "count"),
+         "total_below": ("o_totalprice", "sum")},
+        num_buckets=1,
+    )
+    return _round_cols(out, {"total_below": 2})
+
+
+Q_ORDERS_BELOW_MAX_SQL = """
+with m as (select o_custkey, max(o_totalprice) as mx from orders group by o_custkey)
+select o_orderstatus,
+       count(*)                       as n_below,
+       round(sum(o_totalprice), 2)    as total_below
+from orders join m using (o_custkey)
+where o_totalprice < mx
+group by o_orderstatus
+"""

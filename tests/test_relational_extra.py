@@ -1,0 +1,108 @@
+"""Round-3 relational additions: multi-way join, blocked fuzzy string join,
+set ops, regex extraction, decorrelated subquery — each checked side-by-side
+against its DuckDB oracle at sf0.001 (the driver's compare, in miniature),
+plus property tests for the batched Levenshtein kernel."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from entity_resolution_ray.functions.text import levenshtein_batch
+from entity_resolution_ray.pipelines import relational as R
+
+TABLES = ["part", "orders", "customer", "supplier", "nation", "region",
+          "lineitem", "events"]
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from '{sf_dir}/{t}.parquet'")
+    return con.execute(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+
+
+@pytest.mark.parametrize("fn,sql", [
+    (R.q_region_revenue, R.Q_REGION_REVENUE_SQL),
+    (R.q_fuzzy_part_pairs, R.Q_FUZZY_PART_PAIRS_SQL),
+    (R.q_brand_set_ops, R.Q_BRAND_SET_OPS_SQL),
+    (R.q_props_extract, R.Q_PROPS_EXTRACT_SQL),
+    (R.q_orders_below_max, R.Q_ORDERS_BELOW_MAX_SQL),
+], ids=["region_revenue", "fuzzy_part_pairs", "brand_set_ops",
+        "props_extract", "orders_below_max"])
+def test_query_matches_oracle(sf_dir, fn, sql):
+    mine = fn(sf_dir).to_pandas()
+    oracle = _oracle(sf_dir, sql)
+    assert sorted(mine.columns) == sorted(oracle.columns)
+    assert len(mine) == len(oracle)
+    a, b = _canon(mine), _canon(oracle)
+    for c in a.columns:
+        ok = a[c].eq(b[c]) | (a[c].isna() & b[c].isna())
+        assert ok.all(), f"col {c}: {a[c][~ok].head()} vs {b[c][~ok].head()}"
+
+
+# --- levenshtein kernel ------------------------------------------------------
+
+name_st = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=24
+)
+
+
+def _scalar_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(name_st, name_st), min_size=1, max_size=32))
+def test_lev_batch_matches_scalar(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    out = levenshtein_batch(a, b)
+    for i, (x, y) in enumerate(pairs):
+        assert out[i] == _scalar_lev(x, y)
+
+
+@settings(max_examples=100, deadline=None)
+@given(name_st, name_st)
+def test_lev_axioms(x, y):
+    d = int(levenshtein_batch([x], [y])[0])
+    assert d == int(levenshtein_batch([y], [x])[0])       # symmetric
+    assert d >= abs(len(x) - len(y))                       # length bound
+    assert d <= max(len(x), len(y))
+    if x == y:
+        assert d == 0
+
+
+def test_lev_matches_duckdb_vocab():
+    vocab = ["cold widget", "small widget", "large bolt", "blue rod",
+             "kitten", "sitting", "", "a", "ab", "ba"]
+    import itertools
+    pairs = list(itertools.product(vocab, repeat=2))
+    mine = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    con = duckdb.connect()
+    for (x, y), m in zip(pairs, mine):
+        assert m == con.execute(
+            "select levenshtein(?, ?)", [x, y]).fetchone()[0]
