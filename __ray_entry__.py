@@ -492,6 +492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_set_ops": R.q_brand_set_ops,
         "props_extract": R.q_props_extract,
         "orders_below_max": R.q_orders_below_max,
+        "type_brand_list": R.q_type_brand_list,
+        "priority_share": R.q_priority_share,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -569,6 +571,8 @@ def oracle_sql() -> dict[str, str]:
         "brand_set_ops": R.Q_BRAND_SET_OPS_SQL,
         "props_extract": R.Q_PROPS_EXTRACT_SQL,
         "orders_below_max": R.Q_ORDERS_BELOW_MAX_SQL,
+        "type_brand_list": R.Q_TYPE_BRAND_LIST_SQL,
+        "priority_share": R.Q_PRIORITY_SHARE_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

@@ -108,6 +108,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("price_percentiles", None),
         ("orders_window", None),
         ("pricing_rollup", None),
+        ("region_revenue", None),
+        ("fuzzy_part_pairs", None),
     ]
     # scaling mode measures the headline wall only: secondaries at the low
     # CPU level would triple each repeat without informing the ratio

@@ -1414,3 +1414,56 @@ from orders join m using (o_custkey)
 where o_totalprice < mx
 group by o_orderstatus
 """
+
+
+# --- 41. grouped collect (string_agg of a deduped, ordered set) --------------
+def q_type_brand_list(sf_dir: str):
+    """Per-type ordered distinct-brand roster — the grouped COLLECT / LIST
+    aggregate.  Dedup happens first at the (type, brand) level in one bucketed
+    shuffle (data-proportional input shrinks to the key-space size), so the
+    per-group concat only ever sees the tiny distinct set, never the raw
+    rows."""
+    part = _read(sf_dir, "part", columns=["p_type", "p_brand"])
+    distinct = grouped_aggregate(
+        part, ["p_type", "p_brand"], {"__n": ("p_brand", "size")}, num_buckets=4
+    )
+
+    def collect(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "p_type": [group["p_type"].iloc[0]],
+            "brands": [",".join(sorted(group["p_brand"]))],
+        })
+
+    return distinct.groupby("p_type").map_groups(collect, batch_format="pandas")
+
+
+Q_TYPE_BRAND_LIST_SQL = """
+select p_type, string_agg(distinct p_brand, ',' order by p_brand) as brands
+from part
+group by p_type
+"""
+
+
+# --- 42. percent-of-total (ratio-to-report window over the whole table) ------
+def q_priority_share(sf_dir: str):
+    """Revenue share per order priority — ``sum(x) over ()`` ratio-to-report.
+    One distributed partial+merge aggregate down to the handful of priority
+    rows; the share division runs on that already-small result (no second
+    pass over the fact table)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    agg = grouped_aggregate(
+        orders, "o_orderpriority", {"revenue": ("o_totalprice", "sum")},
+        num_buckets=1,
+    ).to_pandas()
+    agg["share"] = (agg["revenue"] / agg["revenue"].sum()).round(6)
+    agg["revenue"] = agg["revenue"].round(2)
+    return agg
+
+
+Q_PRIORITY_SHARE_SQL = """
+select o_orderpriority,
+       round(sum(o_totalprice), 2) as revenue,
+       round(sum(o_totalprice) / sum(sum(o_totalprice)) over (), 6) as share
+from orders
+group by o_orderpriority
+"""
