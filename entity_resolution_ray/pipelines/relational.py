@@ -1467,3 +1467,56 @@ select o_orderpriority,
 from orders
 group by o_orderpriority
 """
+
+
+# --- 43. full-outer-join shape: per-day order vs event activity --------------
+def q_orders_events_daily(sf_dir: str):
+    """Daily order counts FULL OUTER JOIN daily event counts (the two date
+    ranges barely overlap, so both null sides are exercised).  Distributed
+    rewrite: outer joins on pandas blocks drift key dtypes through the null
+    fill, so each side pre-aggregates (tiny), gains the other side's column
+    as literal zero, and a UNION + one grouped sum reproduces the coalesced
+    outer join exactly — no null-key handling anywhere in the hot path."""
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"])
+    events = _read(sf_dir, "events", columns=["ts"])
+
+    def day_of(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"day": pc.floor_temporal(batch[col], unit="day")})
+        return fn
+
+    oagg = grouped_aggregate(
+        orders.map_batches(day_of("o_orderdate"), batch_format="pyarrow"),
+        "day", {"n_orders": ("day", "size")}, num_buckets=4,
+    )
+    eagg = grouped_aggregate(
+        events.map_batches(day_of("ts"), batch_format="pyarrow"),
+        "day", {"n_events": ("day", "size")}, num_buckets=4,
+    )
+
+    def with_zero(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(col, pa.array([0] * len(batch), pa.int64()))
+        return fn
+
+    cols = ["day", "n_orders", "n_events"]
+    u = oagg.map_batches(with_zero("n_events"), batch_format="pyarrow").select_columns(cols).union(
+        eagg.map_batches(with_zero("n_orders"), batch_format="pyarrow").select_columns(cols)
+    )
+    return grouped_aggregate(
+        u, "day",
+        {"n_orders": ("n_orders", "sum"), "n_events": ("n_events", "sum")},
+        num_buckets=4,
+    )
+
+
+Q_ORDERS_EVENTS_DAILY_SQL = """
+with o as (select date_trunc('day', o_orderdate) as day, count(*) as n
+           from orders group by 1),
+     e as (select date_trunc('day', ts) as day, count(*) as n
+           from events group by 1)
+select coalesce(o.day, e.day) as day,
+       coalesce(o.n, 0)       as n_orders,
+       coalesce(e.n, 0)       as n_events
+from o full outer join e on o.day = e.day
+"""

@@ -34,6 +34,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
         elif np.issubdtype(df[c].dtype, np.floating):
             df[c] = np.round(df[c].astype(np.float64), 6)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(
         drop=True)
 
@@ -44,10 +46,15 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     (R.q_brand_set_ops, R.Q_BRAND_SET_OPS_SQL),
     (R.q_props_extract, R.Q_PROPS_EXTRACT_SQL),
     (R.q_orders_below_max, R.Q_ORDERS_BELOW_MAX_SQL),
+    (R.q_type_brand_list, R.Q_TYPE_BRAND_LIST_SQL),
+    (R.q_priority_share, R.Q_PRIORITY_SHARE_SQL),
+    (R.q_orders_events_daily, R.Q_ORDERS_EVENTS_DAILY_SQL),
 ], ids=["region_revenue", "fuzzy_part_pairs", "brand_set_ops",
-        "props_extract", "orders_below_max"])
+        "props_extract", "orders_below_max", "type_brand_list",
+        "priority_share", "orders_events_daily"])
 def test_query_matches_oracle(sf_dir, fn, sql):
-    mine = fn(sf_dir).to_pandas()
+    mine = fn(sf_dir)
+    mine = mine.to_pandas() if hasattr(mine, "to_pandas") else mine
     oracle = _oracle(sf_dir, sql)
     assert sorted(mine.columns) == sorted(oracle.columns)
     assert len(mine) == len(oracle)
