@@ -241,6 +241,28 @@ def cluster_documents(docs_path: str, cfg: ERConfig | None = None):
     # cluster attach) — materialize once instead of recomputing the tagger
     featured = featured.materialize()
     _mark("featured")
+    if featured.count() == 0:
+        # empty corpus (a filter can empty a shard at scale): return typed
+        # empty outputs instead of probing schemas off schema-less datasets
+        import pyarrow as pa
+
+        import ray.data as rd
+
+        edge_schema = pa.schema([
+            (S.BLOCK_KEY, pa.string()), ("src", pa.string()),
+            ("dst", pa.string()), ("weight", pa.float64()),
+            ("cosine", pa.float64()), ("ftr_cos", pa.float64()),
+            ("jw", pa.float64()), ("media_cos", pa.float64()),
+            ("neg_dob", pa.bool_()), ("score", pa.float64()),
+            ("accepted", pa.bool_()),
+        ])
+        clustered_schema = pa.schema([
+            (S.DOC_ID, pa.string()), (S.SPANS, pa.list_(S.SPAN_STRUCT)),
+            (S.ENTITY_NAME, pa.string()), (S.BLOCK_KEY, pa.string()),
+            ("cluster_id", pa.string()),
+        ])
+        return (rd.from_arrow(clustered_schema.empty_table()),
+                rd.from_arrow(edge_schema.empty_table()))
     timing_actor = None
     if cfg.timing_report:
         import ray

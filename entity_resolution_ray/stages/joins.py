@@ -94,12 +94,32 @@ def _arrow_schema(ds):
     first; one-row sample only for pandas-backed datasets)."""
     import pyarrow as pa
 
-    s = ds.schema().base_schema
+    s = ds.schema()
+    if s is None:
+        # zero-row dataset whose limit-1 schema probe found nothing: the
+        # blocks themselves still carry a schema (an empty parquet read or
+        # an empty map_batches output emits schema-bearing empty blocks) —
+        # materialize and read it from there so empty partitions join
+        # instead of crashing (routine at scale: a filter can empty a shard)
+        s = ds.materialize().schema()
+        if s is None:
+            raise ValueError(
+                "cannot infer join schema: dataset has no blocks at all")
+    s = s.base_schema
     if isinstance(s, pa.Schema):
         return s
     # pandas-backed dataset: sample one arrow batch for true types
-    batch = next(iter(ds.iter_batches(batch_size=1, batch_format="pyarrow")))
-    return batch.schema
+    it = iter(ds.iter_batches(batch_size=1, batch_format="pyarrow"))
+    batch = next(it, None)
+    if batch is not None:
+        return batch.schema
+    # empty pandas-backed dataset: best-effort conversion of the pandas
+    # block schema (names with inferred arrow types)
+    import pandas as pd
+
+    empty = pd.DataFrame({n: pd.Series(dtype=t) for n, t in
+                          zip(s.names, s.types)})
+    return pa.Schema.from_pandas(empty, preserve_index=False)
 
 
 def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):

@@ -1,0 +1,129 @@
+"""Degenerate-input robustness: empty tables, single-row tables, all-equal
+keys.  At 100 TB a partition-empty input shard is routine (a filter that
+drops a whole file, a key range with no rows) — every core operator must pass
+it through without crashing or emitting schema-drifted blocks."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from entity_resolution_ray.stages.aggregate import grouped_aggregate
+from entity_resolution_ray.stages.joins import hash_join, key_filter_join
+
+
+@pytest.fixture(scope="module")
+def empty_events(tmp_path_factory):
+    p = tmp_path_factory.mktemp("degen") / "events_empty.parquet"
+    schema = pa.schema([
+        ("user_id", pa.int64()), ("value", pa.float64()),
+        ("event_type", pa.string()),
+    ])
+    pq.write_table(schema.empty_table(), p)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def one_row(tmp_path_factory):
+    p = tmp_path_factory.mktemp("degen1") / "one.parquet"
+    pq.write_table(
+        pa.table({"user_id": [7], "value": [1.5], "event_type": ["x"]}), p)
+    return str(p)
+
+
+def test_grouped_aggregate_empty(empty_events):
+    ds = rd.read_parquet(empty_events)
+    out = grouped_aggregate(
+        ds, "user_id", {"n": ("value", "count"), "s": ("value", "sum")})
+    assert out.count() == 0
+
+
+def test_grouped_aggregate_one_row(one_row):
+    ds = rd.read_parquet(one_row)
+    out = grouped_aggregate(
+        ds, "user_id", {"n": ("value", "count"), "s": ("value", "sum")}
+    ).to_pandas()
+    assert len(out) == 1
+    assert out["n"].iloc[0] == 1 and out["s"].iloc[0] == 1.5
+
+
+def test_hash_join_empty_side(tmp_path, one_row):
+    # an empty SOURCE shard keeps its schema via parquet metadata — joins
+    # against it must work (routine at scale: a key range with no rows)
+    p = os.path.join(tmp_path, "empty_right.parquet")
+    pq.write_table(
+        pa.schema([("user_id", pa.int64()), ("v2", pa.float64())])
+        .empty_table(), p)
+    left = rd.read_parquet(one_row)
+    right = rd.read_parquet(p)
+    inner = hash_join(left, right, on="user_id", num_buckets=4)
+    assert inner.count() == 0
+    # left join keeps the probe row with a null payload
+    lj = hash_join(left, right, on="user_id", how="left",
+                   num_buckets=4).to_pandas()
+    assert len(lj) == 1 and pd.isna(lj["v2"].iloc[0])
+
+
+def test_hash_join_schemaless_empty_raises(empty_events, one_row):
+    """A transformed empty dataset carries NO schema in Ray (blocks are
+    dropped) — the join must fail with a clear contract error, not an
+    AttributeError deep in schema plumbing."""
+    left = rd.read_parquet(one_row)
+    right = rd.read_parquet(empty_events).map_batches(
+        lambda t: t.rename_columns(["user_id", "v2", "et"]),
+        batch_format="pyarrow")
+    with pytest.raises(ValueError, match="no blocks"):
+        hash_join(left, right, on="user_id", num_buckets=4)
+
+
+def test_key_filter_join_empty_right(empty_events, one_row):
+    left = rd.read_parquet(one_row)
+    right = rd.read_parquet(empty_events)
+    semi = key_filter_join(left, right, on="user_id", how="semi")
+    anti = key_filter_join(left, right, on="user_id", how="anti")
+    assert semi.count() == 0
+    assert anti.count() == 1
+
+
+def test_all_equal_keys_single_group(tmp_path):
+    p = os.path.join(tmp_path, "same.parquet")
+    pq.write_table(
+        pa.table({"k": [1] * 1000, "v": list(range(1000))}), p)
+    out = grouped_aggregate(
+        rd.read_parquet(p), "k", {"s": ("v", "sum")}).to_pandas()
+    assert len(out) == 1 and out["s"].iloc[0] == sum(range(1000))
+
+
+def test_textstats_empty_and_whitespace(tmp_path):
+    from entity_resolution_ray.stages.textstats import text_stats
+
+    p = os.path.join(tmp_path, "docs.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": ["", "   ", "one two"]}), p)
+    out = text_stats(rd.read_parquet(p)).to_pandas().sort_values("doc_id")
+    assert list(out["token_count"])[:2] == [0, 0]
+    assert out["token_count"].iloc[2] == 2
+
+
+def test_er_empty_documents(tmp_path):
+    """An empty documents table must produce an empty clustered output, not
+    crash in blocking/clustering."""
+    from entity_resolution_ray.pipelines.er import cluster_documents
+    from entity_resolution_ray.fixtures.generator import fixture_dir_for
+
+    fx = fixture_dir_for(1000)
+    docs = os.path.join(fx, "documents.parquet")
+    if os.path.isdir(docs):  # sharded fixture layout
+        docs = os.path.join(docs, sorted(os.listdir(docs))[0])
+    schema = pq.read_schema(docs)
+    p = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(schema.empty_table(), p)
+    clustered, edges = cluster_documents(p)
+    assert clustered.count() == 0
+    assert edges.count() == 0
