@@ -116,6 +116,42 @@ def _simhash_pairs(sf_dir: str):
     return simhash_neardup_pairs(ds, max_hamming=16)
 
 
+# Bit-exact SQL restatement of SimHash banding: the token hash is DuckDB's
+# md5_number_lower by construction (functions/minhash.py:simhash_batch), so
+# signature, 4x16-bit band candidate join, and Hamming verify all reproduce
+# in plain SQL.  This oracle caught a real float64-promotion bug in the
+# verify kernel (int64 sig + python-int 2^63 rounds the low bits off).
+SIMHASH_PAIRS_SQL = """
+with toks as (
+  select doc_id,
+         unnest(regexp_extract_all(lower(strip_accents(text)), '[a-z0-9]+')) as tok
+  from documents
+), tf as (
+  select doc_id, tok, count(*)::bigint as cnt from toks group by 1, 2
+), bits as (
+  select doc_id, b.bit,
+         sum((((md5_number_lower(tok) >> b.bit::int) & 1::ubigint)::bigint * 2 - 1) * cnt) as s
+  from tf cross join (select unnest(range(64)) as bit) b
+  group by 1, 2
+), sig as (
+  select doc_id,
+         sum(case when s > 0 then (1::ubigint << bit::int) else 0::ubigint end)::ubigint as sg
+  from bits group by 1
+), bands as (
+  select doc_id, b.band,
+         ((sg >> (16 * b.band)::int) & 65535::ubigint) as band_key, sg
+  from sig cross join (select unnest(range(4)) as band) b
+), cand as (
+  select distinct a.doc_id as src, b.doc_id as dst, a.sg as sga, b.sg as sgb
+  from bands a join bands b
+    on a.band = b.band and a.band_key = b.band_key and a.doc_id < b.doc_id
+)
+select src, dst, bit_count(xor(sga, sgb))::bigint as hamming
+from cand
+where bit_count(xor(sga, sgb)) <= 16
+"""
+
+
 def _ann_lsh(sf_dir: str):
     import ray.data as rd
 
@@ -584,4 +620,5 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_neardup": R.Q_JACCARD_NEARDUP_SQL,
         "doc_embeddings": R.Q_DOC_EMBEDDINGS_SQL,
         "doc_keywords": DOC_KEYWORDS_SQL,
+        "simhash_pairs": SIMHASH_PAIRS_SQL,
     }

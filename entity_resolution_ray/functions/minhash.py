@@ -89,7 +89,15 @@ def exact_jaccard(text_a: str, text_b: str, ngram: int = 3) -> float:
 
 
 def simhash_batch(texts, bits: int = 64) -> np.ndarray:
-    """uint64[n] Charikar SimHash over word tokens (term-frequency weighted)."""
+    """uint64[n] Charikar SimHash over word tokens (term-frequency weighted).
+
+    Token hash is md5-lower-64 (DuckDB's ``md5_number_lower``) rather than the
+    engine's default blake2b, so the whole signature — and therefore the
+    banded near-dup join built on it — is reproducible in plain SQL and can
+    be driver-oracled bit-for-bit.  Any 64-bit hash gives equivalent SimHash
+    quality; this one buys a correctness oracle."""
+    from entity_resolution_ray.utils.hashing import md5_hash64_array
+
     out = np.empty(len(texts), dtype=np.uint64)
     bit_cols = np.arange(bits, dtype=np.uint64)
     for i, text in enumerate(texts):
@@ -98,7 +106,7 @@ def simhash_batch(texts, bits: int = 64) -> np.ndarray:
             out[i] = 0
             continue
         uniq, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-        h = hash64_array(list(uniq))
+        h = md5_hash64_array(list(uniq))
         # (n_tok, bits) sign matrix: +w where bit set, -w where clear
         bitmat = ((h[:, None] >> bit_cols[None, :]) & 1).astype(np.int64)
         acc = ((bitmat * 2 - 1) * cnt[:, None]).sum(axis=0)

@@ -220,6 +220,10 @@ def simhash_neardup_pairs(ds, max_hamming: int = 12, concurrency: int = 8):
         out_ids, out_band, out_key, out_sig = [], [], [], []
         for i, doc in enumerate(ids):
             s = int(sigs[i])
+            if s == 0:
+                # token-less doc: no signature (matches the SQL oracle, whose
+                # token CTE simply has no rows for it)
+                continue
             for b in range(4):
                 out_ids.append(doc)
                 out_band.append(b)
@@ -270,8 +274,13 @@ def simhash_neardup_pairs(ds, max_hamming: int = 12, concurrency: int = 8):
     )
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        a = (batch["src_sig"].to_numpy(np.int64) + (1 << 63)).astype(np.uint64)
-        b = (batch["dst_sig"].to_numpy(np.int64) + (1 << 63)).astype(np.uint64)
+        # int64-stored sig + 2^63 must be recovered in uint64 WRAPAROUND
+        # arithmetic: int64 + python-int 2^63 silently promotes to float64
+        # and rounds the low bits off (wrong hamming on ~3% of pairs — found
+        # by the bit-exact SQL oracle)
+        half = np.uint64(1) << np.uint64(63)
+        a = batch["src_sig"].to_numpy(np.int64).view(np.uint64) + half
+        b = batch["dst_sig"].to_numpy(np.int64).view(np.uint64) + half
         d = hamming_distance64(a, b)
         out = batch[["src", "dst"]].copy()
         out["hamming"] = d.astype(np.int64)

@@ -70,3 +70,19 @@ def md5_hex(value: str) -> str:
 def bucket_of(value: str, num_buckets: int) -> int:
     """Stable bucket id in [0, num_buckets) for partitioned hash joins."""
     return stable_hash32(value) % num_buckets
+
+
+def md5_hash64_array(values) -> np.ndarray:
+    """Vector of 64-bit hashes equal to DuckDB's ``md5_number_lower()``: the
+    LAST 8 bytes of the md5 digest, little-endian.  Used where a SQL oracle
+    must reproduce the hash bit-for-bit (SimHash signatures)."""
+    out = np.empty(len(values), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i, v in enumerate(values):
+        if v is None:
+            out[i] = 0
+            continue
+        if isinstance(v, str):
+            v = v.encode("utf-8", "surrogatepass")
+        out[i] = int.from_bytes(md5(v).digest()[8:], "little")
+    return out
