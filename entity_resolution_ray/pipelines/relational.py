@@ -1520,3 +1520,60 @@ select coalesce(o.day, e.day) as day,
        coalesce(e.n, 0)       as n_events
 from o full outer join e on o.day = e.day
 """
+
+
+# --- 44. algebraic multi-moment aggregate (corr / covar / stddev) ------------
+def q_price_corr(sf_dir: str):
+    """Grouped correlation, sample covariance, and sample stddev — the
+    algebraic-decomposition aggregate family: every statistic reduces to the
+    moment sums (n, Σx, Σy, Σx², Σy², Σxy), which combine associatively, so
+    the whole thing is product columns + ONE partial-pre-aggregated grouped
+    sum and a constant-size finalizer.  No second pass, no mean broadcast."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch["l_quantity"], pa.float64())
+        y = pc.cast(batch["l_extendedprice"], pa.float64())
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "x": x, "y": y,
+            "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+            "xy": pc.multiply(x, y),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow"), "l_returnflag",
+        {"n": ("x", "count"), "sx": ("x", "sum"), "sy": ("y", "sum"),
+         "sxx": ("xx", "sum"), "syy": ("yy", "sum"), "sxy": ("xy", "sum")},
+        num_buckets=1,
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n"].to_numpy(np.float64)
+        sx, sy = batch["sx"].to_numpy(), batch["sy"].to_numpy()
+        sxx, syy, sxy = (batch["sxx"].to_numpy(), batch["syy"].to_numpy(),
+                         batch["sxy"].to_numpy())
+        cxy = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        return pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"],
+            "n": batch["n"].astype("int64"),
+            "corr_qty_price": np.round(cxy / np.sqrt(vx * vy), 6),
+            "covar_qty_price": np.round(cxy / (n - 1), 4),
+            "stddev_qty": np.round(np.sqrt(vx / (n - 1)), 6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+Q_PRICE_CORR_SQL = """
+select l_returnflag,
+       count(*)                                                as n,
+       round(corr(l_quantity, l_extendedprice), 6)             as corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4)       as covar_qty_price,
+       round(stddev_samp(l_quantity), 6)                       as stddev_qty
+from lineitem
+group by l_returnflag
+"""

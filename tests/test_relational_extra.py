@@ -49,9 +49,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     (R.q_type_brand_list, R.Q_TYPE_BRAND_LIST_SQL),
     (R.q_priority_share, R.Q_PRIORITY_SHARE_SQL),
     (R.q_orders_events_daily, R.Q_ORDERS_EVENTS_DAILY_SQL),
+    (R.q_price_corr, R.Q_PRICE_CORR_SQL),
 ], ids=["region_revenue", "fuzzy_part_pairs", "brand_set_ops",
         "props_extract", "orders_below_max", "type_brand_list",
-        "priority_share", "orders_events_daily"])
+        "priority_share", "orders_events_daily", "price_corr"])
 def test_query_matches_oracle(sf_dir, fn, sql):
     mine = fn(sf_dir)
     mine = mine.to_pandas() if hasattr(mine, "to_pandas") else mine
