@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_share": R.q_priority_share,
         "orders_events_daily": R.q_orders_events_daily,
         "price_corr": R.q_price_corr,
+        "dedup_jaccard_clusters": R.q_dedup_jaccard_clusters,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -613,6 +614,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_share": R.Q_PRIORITY_SHARE_SQL,
         "orders_events_daily": R.Q_ORDERS_EVENTS_DAILY_SQL,
         "price_corr": R.Q_PRICE_CORR_SQL,
+        "dedup_jaccard_clusters": R.Q_DEDUP_JACCARD_CLUSTERS_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

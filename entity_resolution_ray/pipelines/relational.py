@@ -1577,3 +1577,82 @@ select l_returnflag,
 from lineitem
 group by l_returnflag
 """
+
+
+# --- 45. transitive dup clusters with canonical labels (CC vs closure oracle)
+def q_dedup_jaccard_clusters(sf_dir: str):
+    """Connected components over the EXACT-jaccard dup pairs, relabeled to
+    the canonical min-doc-id per component — which makes the distributed CC
+    operator itself hash-checkable against a recursive-CTE transitive-closure
+    oracle (the one step of the dedup tier that was previously rows-only).
+
+    The CC runs on 64-bit node hashes (never ships raw keys through the
+    contraction shuffles); canonicalization joins the hash back to its doc_id
+    and takes the component min — two bucketed joins + one grouped min, all
+    on the (tiny) duplicate set, never the corpus."""
+    from entity_resolution_ray.stages.dedup import (
+        jaccard_neardup_pairs,
+        neardup_clusters,
+    )
+    from entity_resolution_ray.utils.hashing import hash64_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # repartition before reuse: the dup-pair table is tiny but inherits the
+    # corpus pipeline's block count, and every downstream shuffle (CC rounds,
+    # joins) would fan out to that many near-empty partitions
+    pairs = jaccard_neardup_pairs(
+        ds, threshold=JACCARD_TH, ngram=JACCARD_NGRAM, num_perm=128, num_bands=64
+    ).repartition(4).materialize()  # consumed twice: CC + hash->id mapping
+    labels = neardup_clusters(pairs)  # (node int64-hash, label int64-hash)
+
+    def ids_of(batch: pa.Table) -> pa.Table:
+        vals = sorted(set(batch["src"].to_pylist()) | set(batch["dst"].to_pylist()))
+        node = hash64_array([str(v) for v in vals]).view(np.int64)
+        return pa.table({"node": pa.array(node),
+                         "doc_id": pa.array(vals, pa.int64())})
+
+    ids = grouped_aggregate(
+        pairs.map_batches(ids_of, batch_format="pyarrow"),
+        "node", {"doc_id": ("doc_id", "min")}, num_buckets=4,
+    )
+    j = hash_join(labels, ids, on="node", num_buckets=8)
+    mins = grouped_aggregate(
+        j, "label", {"cluster_id": ("doc_id", "min")}, num_buckets=4)
+    out = hash_join(j, mins, on="label", num_buckets=8)
+    # the CC label table carries one row per (node, bucket-subgraph) — all
+    # agreeing on the final label — so collapse to one row per doc
+    return grouped_aggregate(
+        out, "doc_id", {"cluster_id": ("cluster_id", "min")}, num_buckets=4)
+
+
+Q_DEDUP_JACCARD_CLUSTERS_SQL = f"""
+with recursive toks as (select doc_id, {oracle_token_expr()} as t from documents),
+sh as (
+  select doc_id, distinct_sh from (
+    select doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] as distinct_sh
+    from toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) as g(i)
+    union
+    select doc_id, array_to_string(t, ' ') from toks where len(t) < 3 and len(t) > 0
+  ) group by doc_id, distinct_sh
+),
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select a.doc_id as src, b.doc_id as dst, count(*) as i
+  from sh a join sh b on a.distinct_sh = b.distinct_sh and a.doc_id < b.doc_id
+  group by 1, 2
+),
+pairs as (
+  select src, dst from inter
+  join sizes sa on sa.doc_id = src
+  join sizes sb on sb.doc_id = dst
+  where i / (sa.n + sb.n - i) >= {{th}}
+),
+nodes as (select src as id from pairs union select dst as id from pairs),
+bi as (select src as a, dst as b from pairs union select dst as a, src as b from pairs),
+reach as (
+  select id as node, id as r from nodes
+  union
+  select bi.a as node, reach.r as r from bi join reach on reach.node = bi.b
+)
+select node as doc_id, min(r) as cluster_id from reach group by node
+""".replace("{th}", str(JACCARD_TH))
