@@ -533,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_events_daily": R.q_orders_events_daily,
         "price_corr": R.q_price_corr,
         "dedup_jaccard_clusters": R.q_dedup_jaccard_clusters,
+        "top_customer_orders": R.q_top_customer_orders,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -615,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_events_daily": R.Q_ORDERS_EVENTS_DAILY_SQL,
         "price_corr": R.Q_PRICE_CORR_SQL,
         "dedup_jaccard_clusters": R.Q_DEDUP_JACCARD_CLUSTERS_SQL,
+        "top_customer_orders": R.Q_TOP_CUSTOMER_ORDERS_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

@@ -1656,3 +1656,48 @@ reach as (
 )
 select node as doc_id, min(r) as cluster_id from reach group by node
 """.replace("{th}", str(JACCARD_TH))
+
+
+# --- 46. bloom-pruned selective join ----------------------------------------
+def q_top_customer_orders(sf_dir: str):
+    """Orders of the top-100 customers by account balance — a SELECTIVE join
+    (right side is 100 keys against a data-proportional fact table), the
+    bloom-filter pruning shape: one cheap pass blooms the key side, the
+    broadcast bitset drops non-matching order rows BEFORE the join shuffle,
+    and only plausible matches enter the exchange.  Results are exactly the
+    inner hash join's (false positives drop in the per-bucket merge)."""
+    from entity_resolution_ray.stages.joins import bloom_filtered_join
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+    top = cust.sort(["c_acctbal", "c_custkey"], descending=[True, False]).limit(100)
+    top = top.map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"],
+                            "c_mktsegment": t["c_mktsegment"]}),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    j = bloom_filtered_join(orders, top, on="o_custkey", num_buckets=8)
+    out = grouped_aggregate(
+        j, "c_mktsegment",
+        {"n_orders": ("o_totalprice", "count"),
+         "revenue": ("o_totalprice", "sum")},
+        num_buckets=1,
+    )
+    return _round_cols(out, {"revenue": 2})
+
+
+Q_TOP_CUSTOMER_ORDERS_SQL = """
+with top_cust as (
+  select c_custkey, c_mktsegment
+  from customer
+  order by c_acctbal desc, c_custkey
+  limit 100
+)
+select c_mktsegment,
+       count(*)                    as n_orders,
+       round(sum(o_totalprice), 2) as revenue
+from orders
+join top_cust on o_custkey = c_custkey
+group by c_mktsegment
+"""

@@ -127,3 +127,32 @@ def test_er_empty_documents(tmp_path):
     clustered, edges = cluster_documents(p)
     assert clustered.count() == 0
     assert edges.count() == 0
+
+
+def test_bloom_filtered_join_matches_hash_join():
+    from entity_resolution_ray.stages.joins import (
+        bloom_filtered_join, build_bloom_filter, hash_join, _key_hash64,
+        _bloom_positions,
+    )
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(20000) % 997, "v": np.arange(20000)})).repartition(8)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(13), "w": np.arange(13) * 3})).repartition(2)
+    a = bloom_filtered_join(left, right, on="k", num_buckets=8).to_pandas()
+    b = hash_join(left, right, on="k", num_buckets=8).to_pandas()
+    a = a.sort_values(["k", "v"]).reset_index(drop=True)
+    b = b.sort_values(["k", "v"]).reset_index(drop=True)
+    assert a.equals(b[a.columns.tolist()])
+
+    # pruning actually prunes: the bitset admits all right keys and only a
+    # false-positive fraction of the rest
+    bits = build_bloom_filter(right, "k")
+    probe = pd.DataFrame({"k": np.arange(997)})
+    pos = _bloom_positions(_key_hash64(probe, ["k"]), 1 << 23, 4)
+    hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+    assert hit[:13].all()            # no false negatives, ever
+    assert hit.sum() <= 13 + 5       # ~2e-5 fp rate leaves ~no extras
