@@ -371,3 +371,91 @@ def bloom_filtered_join(left_ds, right_ds, on, how: str = "inner",
     pruned = left_ds.map_batches(prune, batch_format="pandas")
     return hash_join(pruned, right_ds, on=on, how="inner",
                      num_buckets=num_buckets)
+
+
+# --- skew-aware salted join --------------------------------------------------
+def _hot_keys(ds, on: list[str], hot_threshold: int, top_per_block: int = 64):
+    """Approximate hot-key census: each block contributes its top-N key
+    counts (bounded rows per block, never the key space), partials sum on
+    the driver.  Keys whose (partial) count crosses ``hot_threshold`` are
+    hot.  Under-count is possible for keys scattered thinly across blocks —
+    harmless: a missed hot key degrades to the unsalted path, correctness
+    unchanged (same argument as the flagship's pair-gen census)."""
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = batch.groupby(on, sort=False).size().nlargest(top_per_block)
+        f = c.reset_index()
+        f.columns = [*on, "__n"]
+        return f
+
+    rows = ds.select_columns(on).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if not len(rows):
+        return rows.iloc[:0]
+    total = rows.groupby(on, sort=False)["__n"].sum().reset_index()
+    return total[total["__n"] >= hot_threshold][on]
+
+
+def salted_join(left_ds, right_ds, on, how: str = "inner",
+                num_buckets: int = 64, num_salts: int = 8,
+                hot_threshold: int = 100_000):
+    """Partitioned hash join that survives LEFT-side key skew.
+
+    A hot key (appearing ``hot_threshold``+ times on the left) would land its
+    entire row set in one bucket of ``hash_join`` — one straggler task owning
+    the whole key.  Here hot-key left rows fan out across ``num_salts``
+    sub-buckets by a deterministic row hash, and the RIGHT side's rows for
+    those keys replicate to every sub-bucket (broadcast-side duplication is
+    bounded: #hot_keys × right-rows-per-key × num_salts).  Cold keys take the
+    plain path.  Results are exactly ``hash_join``'s for inner/left joins.
+    """
+    import pyarrow as pa
+
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    on = [on] if isinstance(on, str) else list(on)
+
+    hot = _hot_keys(left_ds, on, hot_threshold)
+    if len(hot) == 0:
+        return hash_join(left_ds, right_ds, on=on, how=how,
+                         num_buckets=num_buckets)
+    hot_ref = ray.put(hot)
+
+    salt_col = "__salt"
+
+    def salt_left(batch: pd.DataFrame) -> pd.DataFrame:
+        hotk = fetch_broadcast(hot_ref)
+        batch = batch.copy()
+        is_hot = batch.merge(
+            hotk.assign(__hot=1), on=on, how="left")["__hot"].notna().to_numpy()
+        # deterministic per-row salt: hash of the row's position-independent
+        # payload hash keeps reruns identical
+        row_h = pd.util.hash_pandas_object(batch, index=False).to_numpy()
+        salt = (row_h % np.uint64(num_salts)).astype(np.int64)
+        salt[~is_hot] = 0
+        batch[salt_col] = salt
+        return batch
+
+    def salt_right(batch: pd.DataFrame) -> pd.DataFrame:
+        hotk = fetch_broadcast(hot_ref)
+        batch = batch.copy()
+        is_hot = batch.merge(
+            hotk.assign(__hot=1), on=on, how="left")["__hot"].notna().to_numpy()
+        cold = batch[~is_hot].copy()
+        cold[salt_col] = 0
+        hot_rows = batch[is_hot]
+        reps = []
+        for s in range(num_salts):
+            r = hot_rows.copy()
+            r[salt_col] = s
+            reps.append(r)
+        return pd.concat([cold, *reps], ignore_index=True)
+
+    lsalted = left_ds.map_batches(salt_left, batch_format="pandas")
+    rsalted = right_ds.map_batches(salt_right, batch_format="pandas")
+    joined = hash_join(lsalted, rsalted, on=[*on, salt_col], how=how,
+                       num_buckets=num_buckets)
+
+    def drop_salt(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns([salt_col])
+
+    return joined.map_batches(drop_salt, batch_format="pyarrow")

@@ -156,3 +156,49 @@ def test_bloom_filtered_join_matches_hash_join():
     hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
     assert hit[:13].all()            # no false negatives, ever
     assert hit.sum() <= 13 + 5       # ~2e-5 fp rate leaves ~no extras
+
+
+def test_salted_join_matches_hash_join_under_skew():
+    from entity_resolution_ray.stages.joins import hash_join, salted_join
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    # one key owns 80% of the left side
+    k = np.where(rng.random(30000) < 0.8, 42, rng.integers(0, 200, 30000))
+    left = rd.from_pandas(pd.DataFrame({"k": k, "v": np.arange(30000)})
+                          ).repartition(8)
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(200), "w": np.arange(200) * 2})).repartition(2)
+
+    a = salted_join(left, right, on="k", num_buckets=8, num_salts=4,
+                    hot_threshold=1000).to_pandas()
+    b = hash_join(left, right, on="k", num_buckets=8).to_pandas()
+    a = a.sort_values(["k", "v"]).reset_index(drop=True)
+    b = b.sort_values(["k", "v"]).reset_index(drop=True)
+    assert a.equals(b[a.columns.tolist()])
+
+    # left join keeps unmatched hot rows too
+    right_partial = rd.from_pandas(pd.DataFrame(
+        {"k": np.arange(10), "w": np.arange(10) * 2})).repartition(2)
+    al = salted_join(left, right_partial, on="k", how="left", num_buckets=8,
+                     num_salts=4, hot_threshold=1000).to_pandas()
+    bl = hash_join(left, right_partial, on="k", how="left",
+                   num_buckets=8).to_pandas()
+    al = al.sort_values(["k", "v"]).reset_index(drop=True)
+    bl = bl.sort_values(["k", "v"]).reset_index(drop=True)
+    assert al[["k", "v"]].equals(bl[["k", "v"]])
+    assert al["w"].fillna(-1).equals(bl["w"].fillna(-1))
+
+
+def test_hot_key_census_finds_the_hot_key():
+    from entity_resolution_ray.stages.joins import _hot_keys
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    k = np.concatenate([np.full(5000, 9), np.arange(1000)])
+    ds = rd.from_pandas(pd.DataFrame({"k": k})).repartition(4)
+    hot = _hot_keys(ds, ["k"], hot_threshold=2000)
+    assert list(hot["k"]) == [9]
