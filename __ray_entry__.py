@@ -534,6 +534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_corr": R.q_price_corr,
         "dedup_jaccard_clusters": R.q_dedup_jaccard_clusters,
         "top_customer_orders": R.q_top_customer_orders,
+        "doc_sample_stats": R.q_doc_sample_stats,
+        "signup_conversion": R.q_signup_conversion,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -617,6 +619,8 @@ def oracle_sql() -> dict[str, str]:
         "price_corr": R.Q_PRICE_CORR_SQL,
         "dedup_jaccard_clusters": R.Q_DEDUP_JACCARD_CLUSTERS_SQL,
         "top_customer_orders": R.Q_TOP_CUSTOMER_ORDERS_SQL,
+        "doc_sample_stats": R.Q_DOC_SAMPLE_STATS_SQL,
+        "signup_conversion": R.Q_SIGNUP_CONVERSION_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

@@ -1701,3 +1701,120 @@ from orders
 join top_cust on o_custkey = c_custkey
 group by c_mktsegment
 """
+
+
+# --- 47. reproducible deterministic sampling ---------------------------------
+def q_doc_sample_stats(sf_dir: str, pct: int = 10):
+    """Text stats over a DETERMINISTIC 10% document sample — hash-based
+    sampling (md5-lower-64 of the id, mod 100) rather than RNG, so the sample
+    is stable across reruns, machines, and engines: the exact property a
+    resumable 100 TB pipeline needs from its sampling stage, and what lets a
+    SQL oracle reproduce the sample bit-for-bit."""
+    from entity_resolution_ray.utils.hashing import md5_hash64_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = [str(v) for v in batch["doc_id"].to_pylist()]
+        keep = (md5_hash64_array(ids) % np.uint64(100)) < pct
+        return batch.filter(pa.array(keep))
+
+    sampled = ds.map_batches(sample, batch_format="pyarrow")
+
+    def stats(batch: pa.Table) -> pa.Table:
+        # plain single-space split, exactly DuckDB's string_split(text, ' ')
+        counts = pc.list_value_length(pc.split_pattern(batch["text"], " "))
+        return pa.table({"lang": batch["lang"],
+                         "n_tokens": pc.cast(counts, pa.int64()),
+                         "n_chars": pc.cast(pc.utf8_length(batch["text"]),
+                                            pa.int64())})
+
+    out = grouped_aggregate(
+        sampled.map_batches(stats, batch_format="pyarrow"), "lang",
+        {"n_docs": ("n_tokens", "count"), "sum_tokens": ("n_tokens", "sum"),
+         "sum_chars": ("n_chars", "sum")},
+        num_buckets=1,
+    )
+    return out
+
+
+Q_DOC_SAMPLE_STATS_SQL = """
+select lang,
+       count(*)                                                  as n_docs,
+       sum(len(string_split(text, ' ')))::bigint                 as sum_tokens,
+       sum(length(text))::bigint                                 as sum_chars
+from documents
+where md5_number_lower(doc_id::varchar) % 100 < 10
+group by lang
+"""
+
+
+# --- 48. event-sequence funnel (signup -> purchase conversion) ---------------
+def q_signup_conversion(sf_dir: str, window_hours: int = 24):
+    """Per-user event-sequence funnel: users whose FIRST signup is followed
+    by a purchase within 24h.  One bucketed min-aggregate per (user, stage)
+    — never a per-user sort — then a narrow self-join of the two tiny
+    per-user timestamp tables and a vectorized window test."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def stages(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["signup", "purchase"]))
+        return batch.filter(keep)
+
+    firsts = grouped_aggregate(
+        ds.map_batches(stages, batch_format="pyarrow"),
+        ["user_id", "event_type"], {"first_ts": ("ts", "min")}, num_buckets=8,
+    )
+
+    def split(which: str, out: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch.filter(pc.equal(batch["event_type"], which))
+            return pa.table({"user_id": b["user_id"], out: b["first_ts"]})
+        return fn
+
+    signups = firsts.map_batches(split("signup", "signup_ts"),
+                                 batch_format="pyarrow")
+    purchases = firsts.map_batches(split("purchase", "purchase_ts"),
+                                   batch_format="pyarrow")
+    j = hash_join(signups, purchases, on="user_id", how="left", num_buckets=8)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        delta = (batch["purchase_ts"] - batch["signup_ts"]).dt.total_seconds()
+        converted = (delta.notna() & (delta >= 0)
+                     & (delta <= window_hours * 3600))
+        return pd.DataFrame({
+            "n_signup_users": [int(len(batch))],
+            "n_converted": [int(converted.sum())],
+        })
+
+    parts = j.map_batches(finish, batch_format="pandas")
+    out = grouped_aggregate(
+        parts.map_batches(
+            lambda t: t.append_column("__g", pa.array([1] * len(t), pa.int64())),
+            batch_format="pyarrow"),
+        "__g",
+        {"n_signup_users": ("n_signup_users", "sum"),
+         "n_converted": ("n_converted", "sum")},
+        num_buckets=1,
+    )
+    return out.map_batches(
+        lambda t: t.drop_columns(["__g"]), batch_format="pyarrow")
+
+
+Q_SIGNUP_CONVERSION_SQL = """
+with f as (
+  select user_id, event_type, min(ts) as first_ts
+  from events
+  where event_type in ('signup', 'purchase')
+  group by 1, 2
+),
+s as (select user_id, first_ts as signup_ts from f where event_type = 'signup'),
+p as (select user_id, first_ts as purchase_ts from f where event_type = 'purchase')
+select count(*) as n_signup_users,
+       count(*) filter (
+         where purchase_ts >= signup_ts
+           and purchase_ts <= signup_ts + interval 24 hours
+       ) as n_converted
+from s left join p using (user_id)
+"""
