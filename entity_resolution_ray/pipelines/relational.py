@@ -1818,3 +1818,98 @@ select count(*) as n_signup_users,
        ) as n_converted
 from s left join p using (user_id)
 """
+
+
+# --- 49. MERGE / upsert (corpus refresh) -------------------------------------
+def q_customer_upsert(sf_dir: str):
+    """Refresh the customer table with an updates feed (here: each customer's
+    balance overridden by their LATEST order's total price, a deterministic
+    updates table derived from orders), then aggregate the merged result.
+    The upsert is the grouped take-latest shuffle — union + priority tag +
+    one bucketed drop_duplicates — never a join."""
+    from entity_resolution_ray.stages.joins import merge_upsert
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate", "o_orderkey",
+                            "o_totalprice"])
+
+    # latest order per customer: grouped max over a sortable packed key
+    # (date, orderkey), then unpack — one shuffle, no per-user sort
+    def pack(batch: pa.Table) -> pa.Table:
+        # epoch DAYS (not us — us*2^23 would overflow int64) * 2^23 +
+        # orderkey: MAX picks lexicographic (date, orderkey)
+        days = pc.cast(
+            pc.cast(batch["o_orderdate"], pa.date32()).cast(pa.int32()),
+            pa.int64())
+        key = pc.add(pc.multiply(days, pa.scalar(1 << 23, pa.int64())),
+                     batch["o_orderkey"])
+        return pa.table({"o_custkey": batch["o_custkey"], "packed": key,
+                         "o_totalprice": batch["o_totalprice"]})
+
+    packed = orders.map_batches(pack, batch_format="pyarrow")
+    latest = grouped_aggregate(
+        packed, "o_custkey", {"latest_packed": ("packed", "max")},
+        num_buckets=8,
+    )
+    with_price = hash_join(
+        latest, packed.map_batches(
+            lambda t: pa.table({"o_custkey": t["o_custkey"],
+                                "latest_packed": t["packed"],
+                                "o_totalprice": t["o_totalprice"]}),
+            batch_format="pyarrow"),
+        on=["o_custkey", "latest_packed"], num_buckets=8,
+    )
+
+    def as_update(batch: pa.Table) -> pa.Table:
+        # selective feed: only big-ticket latest orders update the customer
+        # (keeps both merged classes populated)
+        batch = batch.filter(
+            pc.greater(batch["o_totalprice"], pa.scalar(200_000.0)))
+        n = len(batch)
+        return pa.table({
+            "c_custkey": batch["o_custkey"],
+            "c_acctbal": batch["o_totalprice"],
+            "c_mktsegment": pa.array(["UPDATED"] * n, pa.string()),
+        })
+
+    updates = with_price.map_batches(as_update, batch_format="pyarrow")
+    merged = merge_upsert(cust, updates, on="c_custkey", num_buckets=16)
+    out = grouped_aggregate(
+        merged, "c_mktsegment",
+        {"n_customers": ("c_custkey", "count"),
+         "total_bal": ("c_acctbal", "sum")},
+        num_buckets=1,
+    )
+    return _round_cols(out, {"total_bal": 2})
+
+
+Q_CUSTOMER_UPSERT_SQL = """
+with latest as (
+  select o_custkey,
+         max(date_diff('day', date '1970-01-01', o_orderdate::date) * (1 << 23)
+             + o_orderkey) as latest_packed
+  from orders group by 1
+),
+upd as (
+  select orders.o_custkey as c_custkey, o_totalprice as c_acctbal
+  from orders join latest
+    on orders.o_custkey = latest.o_custkey
+   and date_diff('day', date '1970-01-01', o_orderdate::date) * (1 << 23)
+       + o_orderkey = latest_packed
+  where o_totalprice > 200000
+),
+merged as (
+  select c_custkey,
+         coalesce(u.c_acctbal, c.c_acctbal) as bal,
+         case when u.c_custkey is not null then 'UPDATED'
+              else c.c_mktsegment end       as seg
+  from customer c left join upd u using (c_custkey)
+)
+select seg as c_mktsegment,
+       count(*)              as n_customers,
+       round(sum(bal), 2)    as total_bal
+from merged
+group by seg
+"""

@@ -459,3 +459,51 @@ def salted_join(left_ds, right_ds, on, how: str = "inner",
         return batch.drop_columns([salt_col])
 
     return joined.map_batches(drop_salt, batch_format="pyarrow")
+
+
+# --- merge / upsert ----------------------------------------------------------
+def merge_upsert(base_ds, updates_ds, on, num_buckets: int = 64,
+                 version_col: str | None = None):
+    """MERGE INTO semantics: rows from ``updates`` replace same-key rows of
+    ``base``; update keys absent from base are inserts.  Both sides must
+    share one schema.
+
+    Distributed shape: union with a priority tag + ONE bucketed shuffle +
+    vectorized per-bucket drop_duplicates(keep=update) — the grouped
+    take-latest pattern, no join and no driver state.  If the updates feed
+    can carry SEVERAL rows per key, pass ``version_col``: the max-version
+    row wins deterministically.  Without it, block arrival order decides
+    between same-key update rows — fine for feeds that are unique per key
+    (the common case), not a guarantee worth relying on at scale.
+    """
+    import pyarrow as pa
+
+    on = [on] if isinstance(on, str) else list(on)
+    schema = _arrow_schema(base_ds)
+    names = list(schema.names)
+
+    def tag(pri: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(names)  # enforce one column order
+            key_df = pd.DataFrame({c: batch[c].to_pandas() for c in on})
+            return batch.append_column(
+                "__pri", pa.array(np.full(len(batch), pri, np.int8))
+            ).append_column(
+                "__bucket", pa.array(_bucket_col(key_df, on, num_buckets))
+            )
+        return fn
+
+    tagged = base_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        updates_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        # stable sort by (priority, version): keep="last" → the max-version
+        # update row wins, else the base row survives
+        sort_cols = ["__pri"] + ([version_col] if version_col else [])
+        g = group.sort_values(sort_cols, kind="mergesort")
+        g = g.drop_duplicates(subset=on, keep="last")
+        return g.drop(columns=["__pri", "__bucket"])
+
+    return tagged.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")

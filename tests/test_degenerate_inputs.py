@@ -202,3 +202,22 @@ def test_hot_key_census_finds_the_hot_key():
     ds = rd.from_pandas(pd.DataFrame({"k": k})).repartition(4)
     hot = _hot_keys(ds, ["k"], hot_threshold=2000)
     assert list(hot["k"]) == [9]
+
+
+def test_merge_upsert_semantics():
+    from entity_resolution_ray.stages.joins import merge_upsert
+    import pandas as pd
+    import ray.data as rd
+
+    base = rd.from_pandas(pd.DataFrame(
+        {"k": [1, 2, 3], "v": ["a", "b", "c"]})).repartition(2)
+    upd = rd.from_pandas(pd.DataFrame(
+        {"k": [2, 4, 2], "v": ["B1", "D", "B2"],
+         "ver": [1, 1, 2]})).repartition(2)
+    base2 = base.map_batches(
+        lambda df: df.assign(ver=0), batch_format="pandas")
+    out = merge_upsert(base2, upd, on="k", version_col="ver").to_pandas(
+        ).sort_values("k").reset_index(drop=True)
+    # 2 replaced (max-version update wins), 4 inserted, 1/3 untouched
+    assert list(out["k"]) == [1, 2, 3, 4]
+    assert list(out["v"]) == ["a", "B2", "c", "D"]
