@@ -537,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_stats": R.q_doc_sample_stats,
         "signup_conversion": R.q_signup_conversion,
         "customer_upsert": R.q_customer_upsert,
+        "label_centroids": R.q_label_centroids,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -623,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_stats": R.Q_DOC_SAMPLE_STATS_SQL,
         "signup_conversion": R.Q_SIGNUP_CONVERSION_SQL,
         "customer_upsert": R.Q_CUSTOMER_UPSERT_SQL,
+        "label_centroids": R.Q_LABEL_CENTROIDS_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

@@ -1913,3 +1913,56 @@ select seg as c_mktsegment,
 from merged
 group by seg
 """
+
+
+# --- 50. list-column numeric aggregate: per-label embedding centroids --------
+def q_label_centroids(sf_dir: str):
+    """Per-label centroid of the 64-dim embedding column — the list-column
+    numeric aggregate (and the training step of an IVF index).  Each batch
+    stacks its vectors into one (n, 64) float64 matrix and emits per-label
+    partial (sum-vector, count) rows, so the shuffle moves labels x 64
+    partials per batch, never the vectors; a grouped sum + division finishes.
+    """
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        labels = batch["label"].to_numpy(zero_copy_only=False)
+        mat = _np.stack(
+            [_np.asarray(v, dtype=_np.float64)
+             for v in batch["embedding"].to_pylist()])
+        uniq, inv = _np.unique(labels, return_inverse=True)
+        sums = _np.zeros((len(uniq), mat.shape[1]))
+        _np.add.at(sums, inv, mat)
+        counts = _np.bincount(inv, minlength=len(uniq))
+        k, d = sums.shape
+        return pa.table({
+            "label": pa.array(_np.repeat(uniq, d).astype(_np.int64)),
+            "dim": pa.array(_np.tile(_np.arange(1, d + 1), k)),
+            "s": pa.array(sums.ravel()),
+            "c": pa.array(_np.repeat(counts, d).astype(_np.int64)),
+        })
+
+    agg = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"), ["label", "dim"],
+        {"s": ("s", "sum"), "c": ("c", "sum")}, num_buckets=4,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = pc.round(pc.divide(batch["s"], pc.cast(batch["c"], pa.float64())),
+                     ndigits=6)
+        return pa.table({"label": batch["label"], "dim": batch["dim"], "v": v})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q_LABEL_CENTROIDS_SQL = """
+select label::bigint as label, dim::bigint as dim, round(avg(e), 6) as v
+from (
+  select label, unnest(embedding)::double as e,
+         generate_subscripts(embedding, 1) as dim
+  from embeddings
+)
+group by 1, 2
+"""
