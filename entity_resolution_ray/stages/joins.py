@@ -148,16 +148,43 @@ def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):
 
     def _tag(side: str, own_cols: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
-            n = len(batch)
-            key_df = pd.DataFrame({c: batch[c].to_pandas() for c in on})
-            cols = {}
-            for name, typ in all_fields:
-                cols[name] = (
-                    batch[name] if name in own_cols else pa.nulls(n, typ)
-                )
-            cols["__bucket"] = pa.array(_bucket_col(key_df, on, num_buckets))
-            cols["__side"] = pa.array([side] * n, pa.string())
-            return pa.table(cols)
+            import pyarrow.compute as pc
+
+            # SQL NULL semantics: a null key never matches anything (pandas
+            # merge would pair NaN with NaN, and a nulled int64 key crashes
+            # the dtype-restore cast).  Null-keyed rows DROP for sides whose
+            # rows can only appear via a match, and ride a reserved
+            # right-free bucket for sides that must survive unmatched.
+            null_mask = pc.is_null(batch[on[0]])
+            for c in on[1:]:
+                null_mask = pc.or_(null_mask, pc.is_null(batch[c]))
+            keep_unmatched = (side == "l" and how in ("left", "outer")) or (
+                side == "r" and how in ("right", "outer"))
+            nulls = batch.filter(null_mask) if keep_unmatched else None
+            batch = batch.filter(pc.invert(null_mask))
+
+            def shape(b: pa.Table, bucket) -> pa.Table:
+                n = len(b)
+                key_df = pd.DataFrame({c: b[c].to_pandas() for c in on})
+                cols = {}
+                for name, typ in all_fields:
+                    cols[name] = (
+                        b[name] if name in own_cols else pa.nulls(n, typ)
+                    )
+                cols["__bucket"] = pa.array(
+                    np.full(n, bucket, np.int64) if bucket is not None
+                    else _bucket_col(key_df, on, num_buckets))
+                cols["__side"] = pa.array([side] * n, pa.string())
+                return pa.table(cols)
+
+            out = shape(batch, None)
+            if nulls is not None and len(nulls):
+                # -1 for left nulls, -2 for right nulls: buckets the other
+                # side never lands in, so the per-bucket merge emits them
+                # unmatched with typed-null padding
+                out = pa.concat_tables(
+                    [out, shape(nulls, -1 if side == "l" else -2)])
+            return out
 
         return fn
 
@@ -171,6 +198,11 @@ def hash_join(left_ds, right_ds, on, how: str = "inner", num_buckets: int = 64):
     def _merge_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if len(group) and group["__bucket"][0].as_py() < 0:
+            # reserved null-key bucket: one side's unmatched rows, already
+            # padded with typed nulls — pass through, no merge (and no
+            # pandas pass that would NaN-ify the nulled int64 key)
+            return group.select(out_names).cast(out_schema)
         side = pc.equal(group["__side"], "l")
         lhs = group.filter(side).select(l_cols).to_pandas()
         rhs = group.filter(pc.invert(side)).select(r_cols).to_pandas()

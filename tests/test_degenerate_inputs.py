@@ -221,3 +221,34 @@ def test_merge_upsert_semantics():
     # 2 replaced (max-version update wins), 4 inserted, 1/3 untouched
     assert list(out["k"]) == [1, 2, 3, 4]
     assert list(out["v"]) == ["a", "B2", "c", "D"]
+
+
+def test_hash_join_null_keys_sql_semantics():
+    """SQL NULL semantics: a null key matches nothing (pandas merge would
+    pair NaN with NaN); left join keeps null-keyed left rows unmatched."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data as rd
+    from entity_resolution_ray.stages.joins import hash_join
+
+    lt = pa.table({"k": pa.array([1, None, 3], pa.int64()),
+                   "v": pa.array(["a", "b", "c"])})
+    rt = pa.table({"k": pa.array([None, 3], pa.int64()),
+                   "w": pa.array(["X", "Y"])})
+    left, right = rd.from_arrow(lt), rd.from_arrow(rt)
+
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+
+    inner = hash_join(left, right, on="k", num_buckets=2).to_pandas()
+    oracle_i = con.execute("select * from l join r using (k)").df()
+    assert len(inner) == len(oracle_i) == 1
+    assert inner["v"].iloc[0] == "c" and inner["w"].iloc[0] == "Y"
+
+    lj = hash_join(left, right, on="k", how="left",
+                   num_buckets=2).to_pandas().sort_values("v")
+    oracle_l = con.execute(
+        "select * from l left join r using (k) order by v").df()
+    assert list(lj["v"]) == list(oracle_l["v"]) == ["a", "b", "c"]
+    assert lj["w"].fillna("-").tolist() == oracle_l["w"].fillna("-").tolist()
