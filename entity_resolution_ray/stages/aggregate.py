@@ -50,7 +50,7 @@ def grouped_aggregate(ds, keys, agg: dict[str, tuple[str, str]],
 
     if combinable:
         def partial(batch: pd.DataFrame) -> pd.DataFrame:
-            g = batch.groupby(keys, sort=False)
+            g = batch.groupby(keys, sort=False, dropna=False)
             cols = {}
             for out_col, (in_col, fn) in agg.items():
                 if fn in ("count", "size"):
@@ -64,7 +64,7 @@ def grouped_aggregate(ds, keys, agg: dict[str, tuple[str, str]],
                 pd.DataFrame(cols).reset_index(), keys, num_buckets)
 
         def merge(group: pd.DataFrame) -> pd.DataFrame:
-            g = group.groupby(keys, sort=False)
+            g = group.groupby(keys, sort=False, dropna=False)
             cols = {}
             for out_col, (_in, fn) in agg.items():
                 if fn in ("count", "size"):
@@ -87,7 +87,7 @@ def grouped_aggregate(ds, keys, agg: dict[str, tuple[str, str]],
     )
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.groupby(keys, sort=False)
+        g = group.groupby(keys, sort=False, dropna=False)
         cols = {}
         for out_col, (in_col, fn) in agg.items():
             if fn in ("count", "size"):

@@ -252,3 +252,23 @@ def test_hash_join_null_keys_sql_semantics():
         "select * from l left join r using (k) order by v").df()
     assert list(lj["v"]) == list(oracle_l["v"]) == ["a", "b", "c"]
     assert lj["w"].fillna("-").tolist() == oracle_l["w"].fillna("-").tolist()
+
+
+def test_grouped_aggregate_keeps_null_key_group():
+    """SQL GROUP BY keeps NULL as a group; pandas groupby drops NaN keys by
+    default — both the combinable and raw paths must pass dropna=False."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array(["a", None, "a", None], pa.string()),
+                  "v": pa.array([1.0, 2.0, 3.0, 4.0])})
+    out = grouped_aggregate(
+        rd.from_arrow(t), "k", {"s": ("v", "sum"), "n": ("v", "count")}
+    ).to_pandas()
+    assert len(out) == 2
+    null_row = out[out["k"].isna()]
+    assert float(null_row["s"].iloc[0]) == 6.0 and int(null_row["n"].iloc[0]) == 2
+    # non-combinable path (nunique) too
+    out2 = grouped_aggregate(
+        rd.from_arrow(t), "k", {"m": ("v", "nunique")}).to_pandas()
+    assert len(out2) == 2
