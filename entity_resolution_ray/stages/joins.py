@@ -38,9 +38,14 @@ def _bucket_col(df: pd.DataFrame, on: list[str], num_buckets: int) -> np.ndarray
 
 def broadcast_join(big_ds, small_df: pd.DataFrame, on, how: str = "left",
                    batch_size: int = 4096):
-    """Join a Dataset with a small pandas frame (broadcast, no shuffle)."""
+    """Join a Dataset with a small pandas frame (broadcast, no shuffle).
+
+    SQL NULL semantics: null-keyed small-side rows are dropped up front — a
+    null key can never match (pandas merge would pair NaN with NaN); big-side
+    null rows then fall out of inner joins and survive unmatched in left
+    joins, exactly as SQL."""
     on = [on] if isinstance(on, str) else list(on)
-    ref = ray.put(small_df)
+    ref = ray.put(small_df.dropna(subset=on))
 
     def _merge(batch: pd.DataFrame) -> pd.DataFrame:
         small = fetch_broadcast(ref)

@@ -272,3 +272,27 @@ def test_grouped_aggregate_keeps_null_key_group():
     out2 = grouped_aggregate(
         rd.from_arrow(t), "k", {"m": ("v", "nunique")}).to_pandas()
     assert len(out2) == 2
+
+
+def test_broadcast_and_filter_joins_null_key_semantics():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from entity_resolution_ray.stages.joins import broadcast_join, key_filter_join
+
+    lt = pa.table({"k": pa.array([1.0, None, 3.0]), "v": pa.array(["a", "b", "c"])})
+    left = rd.from_arrow(lt)
+    small = pd.DataFrame({"k": [np.nan, 3.0], "w": ["X", "Y"]})
+
+    inner = broadcast_join(left, small, on="k", how="inner").to_pandas()
+    assert list(inner["v"]) == ["c"]          # NaN never matches NaN
+    lj = broadcast_join(left, small, on="k", how="left").to_pandas()
+    assert len(lj) == 3
+    assert lj.loc[lj["v"] == "b", "w"].isna().all()
+
+    rt = rd.from_arrow(pa.table({"k": pa.array([None, 3.0]),
+                                 "w": pa.array(["X", "Y"])}))
+    semi = key_filter_join(left, rt, on="k", how="semi").to_pandas()
+    anti = key_filter_join(left, rt, on="k", how="anti").to_pandas()
+    assert list(semi["v"]) == ["c"]           # EXISTS: null never matches
+    assert sorted(anti["v"]) == ["a", "b"]    # NOT EXISTS keeps null-key row
