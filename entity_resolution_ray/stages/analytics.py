@@ -56,13 +56,13 @@ def topk_per_group(
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch.sort_values(sort_cols, ascending=ascending, kind="mergesort")
-        top = s.groupby(keys, sort=False).head(k)
+        top = s.groupby(keys, sort=False, dropna=False).head(k)
         return _add_bucket(top, keys, num_buckets)
 
     def final(group: pd.DataFrame) -> pd.DataFrame:
         s = group.sort_values(sort_cols, ascending=ascending, kind="mergesort")
-        top = s.groupby(keys, sort=False).head(k).copy()
-        top["rn"] = top.groupby(keys, sort=False).cumcount() + 1
+        top = s.groupby(keys, sort=False, dropna=False).head(k).copy()
+        top["rn"] = top.groupby(keys, sort=False, dropna=False).cumcount() + 1
         return top.drop(columns="__bucket")
 
     partials = ds.map_batches(partial, batch_format="pandas")
@@ -129,7 +129,7 @@ def pivot_counts(
         # rows all carry other pivot values must still emit an all-zero row,
         # exactly like SQL conditional counts grouped over the full table
         p = (
-            batch.groupby(keys + [pivot_col], sort=False)
+            batch.groupby(keys + [pivot_col], sort=False, dropna=False)
             .size()
             .unstack(pivot_col, fill_value=0)
             .reindex(columns=values, fill_value=0)
@@ -393,7 +393,7 @@ def distinct_count(
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         d = group[on].drop_duplicates()
-        return d.groupby(keys, sort=False).size().rename(out_col).reset_index()
+        return d.groupby(keys, sort=False, dropna=False).size().rename(out_col).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
     per_key_partials = partials.groupby("__bucket").map_groups(

@@ -147,7 +147,7 @@ def partitioned_window(
         g = group.sort_values(sort_cols, ascending=ascending, kind="mergesort")
         g = g.drop(columns="__bucket").reset_index(drop=True)
         n = len(g)
-        gb = g.groupby(keys, sort=False)
+        gb = g.groupby(keys, sort=False, dropna=False)
         rn = gb.cumcount().to_numpy() + 1
         need_cnt = any(s[0] in ("ntile", "percent_rank", "cume_dist")
                        for s in specs.values())
