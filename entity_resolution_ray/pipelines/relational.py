@@ -138,9 +138,13 @@ def q_segment_revenue(sf_dir: str):
     # cap, partitioned hash join above it (VERDICT r2 "What's wrong" #2)
     j2 = size_gated_join(j1, cust, on="c_custkey", how="inner",
                          broadcast_cap=2_000_000)
-    out = j2.groupby("c_mktsegment").aggregate(
-        Sum("order_rev", alias_name="revenue"),
-        Count(alias_name="n_orders"),
+    # bucketed partial-pre-agg beats Ray's built-in groupby here: the join
+    # output arrives as many small blocks and the built-in's sort-shuffle
+    # paid ~6 s of the query's 8 s wall on them (measured at sf0.1/32cpu)
+    out = grouped_aggregate(
+        j2, "c_mktsegment",
+        {"revenue": ("order_rev", "sum"), "n_orders": ("order_rev", "count")},
+        num_buckets=1,
     )
     return _round_cols(out, {"revenue": 4})
 
@@ -176,14 +180,20 @@ def q_nation_customers(sf_dir: str):
     nation = _read(sf_dir, "nation").to_pandas()[["n_nationkey", "n_name"]]
     nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
     joined = broadcast_join(cust, nation, on="c_nationkey", how="inner")
-    per_seg = joined.groupby(["n_name", "c_mktsegment"]).aggregate(
-        Count(alias_name="seg_rows"),
-        Sum("c_acctbal", alias_name="seg_bal"),
+    # two bucketed partial-pre-agg levels (per-(nation,segment), then per-
+    # nation) — Ray's built-in groupby paid ~4 s of sort-shuffle on the
+    # broadcast-join's many small blocks for this 25-row result
+    per_seg = grouped_aggregate(
+        joined, ["n_name", "c_mktsegment"],
+        {"seg_rows": ("c_custkey", "count"), "seg_bal": ("c_acctbal", "sum")},
+        num_buckets=4,
     )
-    out = per_seg.groupby("n_name").aggregate(
-        Count(alias_name="n_segments"),
-        Sum("seg_rows", alias_name="n_customers"),
-        Sum("seg_bal", alias_name="total_acctbal"),
+    out = grouped_aggregate(
+        per_seg, "n_name",
+        {"n_segments": ("seg_rows", "count"),
+         "n_customers": ("seg_rows", "sum"),
+         "total_acctbal": ("seg_bal", "sum")},
+        num_buckets=1,
     )
     return _round_cols(out, {"total_acctbal": 2})
 
