@@ -575,24 +575,39 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
     the previous event (per user, ordered by ts then event_id) exceeds
     ``gap_minutes``.  One row per session with count / duration / value sum.
 
-    The stateful window is expressed as ``groupby(user_id).map_groups`` with a
-    fully vectorized body (sort → diff → cumsum) — the canonical Ray Data
-    shape for per-key ordered windows.  Partitioning assumption: one user's
-    history fits in a task (true for any bounded per-key cardinality; salt by
-    time range if a single key is unbounded)."""
+    The stateful window runs on hash BUCKETS of users, not per-user groups:
+    Ray's groupby pays a per-GROUP dispatch (~250µs/group), which scales with
+    user count; one shuffle to ``num_buckets`` buckets + a whole-bucket
+    vectorized pass (sort → per-user-reset diff/cumsum → ONE pandas groupby)
+    keeps the cost O(rows), not O(users).  Partitioning assumption: one
+    user's history fits in a task (salt by time range if a key is
+    unbounded)."""
+    from entity_resolution_ray.stages.aggregate import _add_bucket
+
     ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+    def sessions_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({"user_id": [], "sess_no": [], "n_events": [],
+                                 "duration_sec": [], "sum_value": []})
         ts = g["ts"].to_numpy()
-        new_sess = np.empty(len(g), dtype=np.int64)
-        if len(g):
-            new_sess[0] = 0
-            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
-        sess_no = np.cumsum(new_sess)
-        g = g.assign(sess_no=sess_no)
-        agg = g.groupby("sess_no", sort=True).agg(
+        uid = g["user_id"].to_numpy()
+        new_sess = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            same_user = uid[1:] == uid[:-1]
+            new_sess[1:] = ((np.diff(ts) > gap) & same_user).astype(np.int64)
+        cs = np.cumsum(new_sess)
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = uid[1:] != uid[:-1]
+        # per-user reset: cs is non-decreasing, so a running max over the
+        # first-row cs values yields each row's own user's starting offset
+        start_cs = np.maximum.accumulate(np.where(first, cs, -1))
+        g = g.assign(sess_no=cs - start_cs)
+        agg = g.groupby(["user_id", "sess_no"], sort=True).agg(
             n_events=("event_id", "size"),
             sess_start=("ts", "min"),
             sess_end=("ts", "max"),
@@ -602,10 +617,13 @@ def q_events_sessions(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN):
             (agg["sess_end"] - agg["sess_start"]).dt.total_seconds()
         )
         agg["sum_value"] = np.round(agg["sum_value"], 4)
-        agg.insert(0, "user_id", g["user_id"].iloc[0])
-        return agg[["user_id", "sess_no", "n_events", "duration_sec", "sum_value"]]
+        return agg[["user_id", "sess_no", "n_events", "duration_sec",
+                    "sum_value"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    bucketed = ds.map_batches(
+        lambda b: _add_bucket(b, ["user_id"], 16), batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        sessions_bucket, batch_format="pandas")
 
 
 Q_EVENTS_SESSIONS_SQL = f"""
@@ -871,14 +889,19 @@ ROLLING_FRAME = 3  # current row + 2 preceding
 def q_events_rolling(sf_dir: str):
     """Per-user rolling mean of value over (2 preceding .. current) rows
     ordered by (ts, event_id) — the frame-window complement of the gap
-    sessions and time-sliding windows; same groupby(key).map_groups shape
-    and per-key-fits-a-task partitioning assumption."""
+    sessions and time-sliding windows.  Same bucketed shape as sessions:
+    one shuffle to user-hash buckets, then pandas' cython groupby-rolling
+    over the whole bucket — O(rows), no per-user task dispatch."""
+    from entity_resolution_ray.stages.aggregate import _add_bucket
+
     ds = _read(sf_dir, "events",
                columns=["event_id", "ts", "user_id", "value"])
 
-    def rolling(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        rm = g["value"].rolling(ROLLING_FRAME, min_periods=1).mean()
+    def rolling_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        rm = (g.groupby("user_id", sort=False)["value"]
+              .rolling(ROLLING_FRAME, min_periods=1).mean()
+              .reset_index(level=0, drop=True))
         return pd.DataFrame(
             {
                 "event_id": g["event_id"].to_numpy(),
@@ -887,7 +910,10 @@ def q_events_rolling(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(rolling, batch_format="pandas")
+    bucketed = ds.map_batches(
+        lambda b: _add_bucket(b, ["user_id"], 16), batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        rolling_bucket, batch_format="pandas")
 
 
 Q_EVENTS_ROLLING_SQL = f"""
