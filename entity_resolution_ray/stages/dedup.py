@@ -177,14 +177,17 @@ def jaccard_neardup_pairs(ds, threshold: float = 0.4, num_perm: int = 128,
         lambda t: pa.table({"dst": t["doc_id"], "dst_sh": t["sh"], "dst_n": t["n_sh"]}),
         batch_format="pyarrow",
     )
-    # bucket count tracks table size: ~32k rows per bucket, so small corpora
-    # don't pay 64 near-empty shuffle tasks per join while 100× data still
-    # partitions (both inputs are materialized — counts are metadata)
-    nb = int(np.clip((cand.count() + sh.count()) // 32768, 4, 256))
-    joined = hash_join(
-        hash_join(cand, sh_src, on="src", num_buckets=nb),
-        sh_dst, on="dst", num_buckets=nb,
-    )
+    # The candidate table is far smaller than the corpus (LSH prunes hard),
+    # so the shingle-blob table is bloom-pruned to candidate ids BEFORE each
+    # join — the big payload side never rides the exchange for docs no pair
+    # references (measured: the two unpruned joins were ~55% of this
+    # pipeline's wall at sf0.1).  Bucket count tracks the PRUNED size.
+    from entity_resolution_ray.stages.joins import bloom_filtered_join
+
+    nb = int(np.clip(cand.count() // 16384, 4, 256))
+    j1 = bloom_filtered_join(sh_src, cand, on="src",
+                             num_buckets=nb).materialize()
+    joined = bloom_filtered_join(sh_dst, j1, on="dst", num_buckets=nb)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         n = len(batch)

@@ -339,17 +339,22 @@ def _bloom_positions(h: np.ndarray, num_bits: int, k: int) -> np.ndarray:
     )
 
 
-def build_bloom_filter(ds, on, num_bits: int = 1 << 23, k: int = 4):
+def build_bloom_filter(ds, on, num_bits: int | None = None, k: int = 4):
     """Distributed bloom filter of a Dataset's key column(s).
 
     Each block emits one packed bitset (num_bits/8 bytes); bitsets OR-reduce
     in a two-level tree (per-partition combine, then a bounded driver fold of
-    <= 8 rows) so driver traffic stays O(num_bits), never O(blocks).  At
-    num_bits=2^23 / k=4 a 150k-key side false-positives at ~2e-5.
+    <= 8 rows) so driver traffic stays O(num_bits), never O(blocks).
+    ``num_bits=None`` sizes the filter to ~20 bits/row (fp ~2e-4 at k=4,
+    floor 2^17) so a small key side doesn't pay megabyte bitsets through the
+    reduce; pass an explicit power of two to pin it.
     """
     import pyarrow as pa
 
     on = [on] if isinstance(on, str) else list(on)
+    if num_bits is None:
+        n = max(int(ds.count() or 0), 1)
+        num_bits = 1 << max(17, int(np.ceil(np.log2(20 * n))))
     nbytes = num_bits // 8
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -380,7 +385,7 @@ def build_bloom_filter(ds, on, num_bits: int = 1 << 23, k: int = 4):
 
 
 def bloom_filtered_join(left_ds, right_ds, on, how: str = "inner",
-                        num_buckets: int = 64, num_bits: int = 1 << 23,
+                        num_buckets: int = 64, num_bits: int | None = None,
                         k: int = 4):
     """Inner hash join with bloom pre-pruning of the (big) left side.
 
@@ -395,7 +400,9 @@ def bloom_filtered_join(left_ds, right_ds, on, how: str = "inner",
     if how != "inner":
         raise ValueError("bloom pruning only preserves inner-join semantics")
     on = [on] if isinstance(on, str) else list(on)
-    bits_ref = ray.put(build_bloom_filter(right_ds, on, num_bits, k))
+    bits = build_bloom_filter(right_ds, on, num_bits, k)
+    num_bits = len(bits) * 8
+    bits_ref = ray.put(bits)
 
     def prune(batch: pd.DataFrame) -> pd.DataFrame:
         bits = np.frombuffer(fetch_broadcast(bits_ref), dtype=np.uint8)

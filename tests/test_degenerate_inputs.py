@@ -152,7 +152,7 @@ def test_bloom_filtered_join_matches_hash_join():
     # false-positive fraction of the rest
     bits = build_bloom_filter(right, "k")
     probe = pd.DataFrame({"k": np.arange(997)})
-    pos = _bloom_positions(_key_hash64(probe, ["k"]), 1 << 23, 4)
+    pos = _bloom_positions(_key_hash64(probe, ["k"]), len(bits) * 8, 4)
     hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
     assert hit[:13].all()            # no false negatives, ever
     assert hit.sum() <= 13 + 5       # ~2e-5 fp rate leaves ~no extras
