@@ -234,10 +234,11 @@ def q_events_hourly(sf_dir: str):
         return batch.append_column("window_start", hour)
 
     ds = ds.map_batches(add_window, batch_format="pyarrow")
-    out = ds.groupby(["window_start", "event_type"]).aggregate(
-        Count(alias_name="n_events"),
-        Sum("value", alias_name="sum_value"),
-        Max("value", alias_name="max_value"),
+    out = grouped_aggregate(
+        ds, ["window_start", "event_type"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum"),
+         "max_value": ("value", "max")},
+        num_buckets=4,
     )
     return _round_cols(out, {"sum_value": 2, "max_value": 2})
 
