@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_conversion": R.q_signup_conversion,
         "customer_upsert": R.q_customer_upsert,
         "label_centroids": R.q_label_centroids,
+        "stratified_docs": R.q_stratified_docs,
         # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
@@ -625,6 +626,7 @@ def oracle_sql() -> dict[str, str]:
         "signup_conversion": R.Q_SIGNUP_CONVERSION_SQL,
         "customer_upsert": R.Q_CUSTOMER_UPSERT_SQL,
         "label_centroids": R.Q_LABEL_CENTROIDS_SQL,
+        "stratified_docs": R.Q_STRATIFIED_DOCS_SQL,
         "doc_stats": R.Q_DOC_STATS_SQL,
         "lang_id": R.Q_LANG_ID_SQL,
         "exact_dedup": R.Q_EXACT_DEDUP_SQL,

@@ -2003,3 +2003,43 @@ from (
 )
 group by 1, 2
 """
+
+
+# --- 51. stratified deterministic sample (k per group by hash order) ---------
+def q_stratified_docs(sf_dir: str, k: int = 3):
+    """k documents per language, chosen by md5-hash order — stratified
+    deterministic sampling: rerun/engine-stable like q_doc_sample_stats, but
+    with an exact per-stratum quota instead of a rate.  Rides the distributed
+    top-k-per-group operator (partial top-k per block, <= k rows per
+    (group, block) ever shuffle), ordering by the reproducible hash."""
+    from entity_resolution_ray.stages.analytics import topk_per_group
+    from entity_resolution_ray.utils.hashing import md5_hash64_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        ids = [str(v) for v in batch["doc_id"].to_pylist()]
+        # store as int64 with the sign flipped so ascending int64 order equals
+        # ascending uint64 hash order (the SQL side compares the raw ubigint)
+        h = md5_hash64_array(ids) - np.uint64(1 << 63)
+        return batch.append_column("h", pa.array(h.view(np.int64), pa.int64()))
+
+    out = topk_per_group(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        "lang", "h", k=k, descending=False, tie_cols=["doc_id"],
+        num_buckets=4,
+    )
+    return out.map_batches(
+        lambda t: t.select(["lang", "doc_id", "rn"]), batch_format="pyarrow")
+
+
+Q_STRATIFIED_DOCS_SQL = """
+select lang, doc_id, rn from (
+  select lang, doc_id,
+         row_number() over (
+           partition by lang
+           order by md5_number_lower(doc_id::varchar), doc_id
+         ) as rn
+  from documents
+) where rn <= 3
+"""
