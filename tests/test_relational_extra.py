@@ -16,7 +16,7 @@ from entity_resolution_ray.functions.text import levenshtein_batch
 from entity_resolution_ray.pipelines import relational as R
 
 TABLES = ["part", "orders", "customer", "supplier", "nation", "region",
-          "lineitem", "events"]
+          "lineitem", "events", "documents", "embeddings"]
 
 
 def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
@@ -50,9 +50,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     (R.q_priority_share, R.Q_PRIORITY_SHARE_SQL),
     (R.q_orders_events_daily, R.Q_ORDERS_EVENTS_DAILY_SQL),
     (R.q_price_corr, R.Q_PRICE_CORR_SQL),
+    (R.q_top_customer_orders, R.Q_TOP_CUSTOMER_ORDERS_SQL),
+    (R.q_doc_sample_stats, R.Q_DOC_SAMPLE_STATS_SQL),
+    (R.q_signup_conversion, R.Q_SIGNUP_CONVERSION_SQL),
+    (R.q_customer_upsert, R.Q_CUSTOMER_UPSERT_SQL),
+    (R.q_label_centroids, R.Q_LABEL_CENTROIDS_SQL),
+    (R.q_stratified_docs, R.Q_STRATIFIED_DOCS_SQL),
 ], ids=["region_revenue", "fuzzy_part_pairs", "brand_set_ops",
         "props_extract", "orders_below_max", "type_brand_list",
-        "priority_share", "orders_events_daily", "price_corr"])
+        "priority_share", "orders_events_daily", "price_corr",
+        "top_customer_orders", "doc_sample_stats", "signup_conversion",
+        "customer_upsert", "label_centroids", "stratified_docs"])
 def test_query_matches_oracle(sf_dir, fn, sql):
     mine = fn(sf_dir)
     mine = mine.to_pandas() if hasattr(mine, "to_pandas") else mine
