@@ -101,7 +101,7 @@ def _dedup_minhash_clusters(sf_dir: str):
 
         return pd.DataFrame({"node": np.empty(0, np.int64),
                              "label": np.empty(0, np.int64)})
-    return neardup_clusters(pairs)
+    return neardup_clusters(pairs, num_buckets=8)
 
 
 def _simhash_pairs(sf_dir: str):

@@ -1640,7 +1640,7 @@ def q_dedup_jaccard_clusters(sf_dir: str):
     pairs = jaccard_neardup_pairs(
         ds, threshold=JACCARD_TH, ngram=JACCARD_NGRAM, num_perm=128, num_bands=64
     ).repartition(4).materialize()  # consumed twice: CC + hash->id mapping
-    labels = neardup_clusters(pairs)  # (node int64-hash, label int64-hash)
+    labels = neardup_clusters(pairs, num_buckets=8)  # (node, label) int64 hashes
 
     def ids_of(batch: pa.Table) -> pa.Table:
         vals = sorted(set(batch["src"].to_pylist()) | set(batch["dst"].to_pylist()))

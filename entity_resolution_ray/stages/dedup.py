@@ -367,11 +367,14 @@ def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
 
 
 # --- transitive closure ---------------------------------------------------
-def neardup_clusters(pairs_ds, all_ids_ds=None, id_col: str = "doc_id"):
+def neardup_clusters(pairs_ds, all_ids_ds=None, id_col: str = "doc_id",
+                     num_buckets: int = 32):
     """Verified pair table → (doc_id, dup_cluster) via the distributed CC.
 
     Components may span LSH bands/keys, so this must use the general
-    label-propagation CC, not the block-local fast path.
+    label-propagation CC, not the block-local fast path.  ``num_buckets``
+    sizes the contraction shuffles — match it to the PAIR table (dup sets
+    are tiny relative to the corpus), not the corpus.
     """
 
     def as_str(batch: pa.Table) -> pa.Table:
@@ -383,7 +386,7 @@ def neardup_clusters(pairs_ds, all_ids_ds=None, id_col: str = "doc_id"):
         )
 
     edges = pairs_ds.map_batches(as_str, batch_format="pyarrow")
-    labels = connected_components_labelprop(edges)
+    labels = connected_components_labelprop(edges, num_buckets=num_buckets)
     return labels
 
 
