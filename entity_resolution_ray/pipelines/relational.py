@@ -1875,12 +1875,14 @@ def q_customer_upsert(sf_dir: str):
     # latest order per customer: grouped max over a sortable packed key
     # (date, orderkey), then unpack — one shuffle, no per-user sort
     def pack(batch: pa.Table) -> pa.Table:
-        # epoch DAYS (not us — us*2^23 would overflow int64) * 2^23 +
-        # orderkey: MAX picks lexicographic (date, orderkey)
+        # epoch DAYS (not us — us would overflow int64) * 2^40 + orderkey:
+        # MAX picks lexicographic (date, orderkey).  2^40 leaves headroom
+        # for TPC-H orderkeys past SF100 (orderkey < 2^40 ≈ 1.1e12) while
+        # days*2^40 stays < 2^56 — no int64 overflow
         days = pc.cast(
             pc.cast(batch["o_orderdate"], pa.date32()).cast(pa.int32()),
             pa.int64())
-        key = pc.add(pc.multiply(days, pa.scalar(1 << 23, pa.int64())),
+        key = pc.add(pc.multiply(days, pa.scalar(1 << 40, pa.int64())),
                      batch["o_orderkey"])
         return pa.table({"o_custkey": batch["o_custkey"], "packed": key,
                          "o_totalprice": batch["o_totalprice"]})
@@ -1925,7 +1927,7 @@ def q_customer_upsert(sf_dir: str):
 Q_CUSTOMER_UPSERT_SQL = """
 with latest as (
   select o_custkey,
-         max(date_diff('day', date '1970-01-01', o_orderdate::date) * (1 << 23)
+         max(date_diff('day', date '1970-01-01', o_orderdate::date) * (1::bigint << 40)
              + o_orderkey) as latest_packed
   from orders group by 1
 ),
@@ -1933,7 +1935,7 @@ upd as (
   select orders.o_custkey as c_custkey, o_totalprice as c_acctbal
   from orders join latest
     on orders.o_custkey = latest.o_custkey
-   and date_diff('day', date '1970-01-01', o_orderdate::date) * (1 << 23)
+   and date_diff('day', date '1970-01-01', o_orderdate::date) * (1::bigint << 40)
        + o_orderkey = latest_packed
   where o_totalprice > 200000
 ),

@@ -56,8 +56,10 @@ def grouped_aggregate(ds, keys, agg: dict[str, tuple[str, str]],
                 if fn in ("count", "size"):
                     cols[f"{out_col}__cnt"] = g.size()
                 elif fn == "mean":
+                    # SQL AVG: NaN-skipping sum over the NON-NULL count
+                    # (g.size() would count null rows into the denominator).
                     cols[f"{out_col}__sum"] = g[in_col].sum()
-                    cols[f"{out_col}__cnt"] = g.size()
+                    cols[f"{out_col}__cnt"] = g[in_col].count()
                 else:
                     cols[f"{out_col}__{fn}"] = g[in_col].agg(fn)
             return _add_bucket(

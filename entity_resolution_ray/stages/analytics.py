@@ -252,12 +252,14 @@ def grouping_sets_aggregate(
                     g.size() if src is None else g[f"{out_col}__cnt"].sum()
                 )
             elif fn == "mean":
+                # SQL AVG denominator is the NON-NULL count, not group size
                 cols[f"{out_col}__sum"] = (
                     g[in_col].sum() if src is None
                     else g[f"{out_col}__sum"].sum()
                 )
                 cols[f"{out_col}__cnt"] = (
-                    g.size() if src is None else g[f"{out_col}__cnt"].sum()
+                    g[in_col].count() if src is None
+                    else g[f"{out_col}__cnt"].sum()
                 )
             elif fn == "sum":
                 cols[f"{out_col}__sum"] = (
@@ -478,7 +480,9 @@ def grouped_percentiles_unbounded(
 
         def hist_partial(batch: _pd.DataFrame, _edges=edges) -> _pd.DataFrame:
             out_rows = []
-            for kt, grp_idx in batch.groupby(keys, sort=False).indices.items():
+            for kt, grp_idx in batch.groupby(
+                keys, sort=False, dropna=False
+            ).indices.items():
                 kt_t = kt if isinstance(kt, tuple) else (kt,)
                 spans = _edges.get(kt_t)
                 if not spans:
@@ -542,7 +546,9 @@ def grouped_percentiles_unbounded(
 
     def gather(batch: _pd.DataFrame, _r=final_ranges) -> _pd.DataFrame:
         out_rows = []
-        for kt, grp_idx in batch.groupby(keys, sort=False).indices.items():
+        for kt, grp_idx in batch.groupby(
+            keys, sort=False, dropna=False
+        ).indices.items():
             kt_t = kt if isinstance(kt, tuple) else (kt,)
             spans = _r.get(kt_t)
             if not spans:

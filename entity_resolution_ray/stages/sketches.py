@@ -73,7 +73,11 @@ def hll_distinct(
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rho = _rho(h, p)
         rows = []
-        for key_vals, grp_idx in batch.groupby(keys, sort=False).indices.items():
+        # dropna=False: NULL-key groups survive like the exact
+        # distinct_count / grouped_aggregate paths (SQL GROUP BY keeps them)
+        for key_vals, grp_idx in batch.groupby(
+            keys, sort=False, dropna=False
+        ).indices.items():
             regs = np.zeros(m, np.uint8)
             np.maximum.at(regs, idx[grp_idx], rho[grp_idx])
             if len(keys) == 1:

@@ -296,3 +296,38 @@ def test_broadcast_and_filter_joins_null_key_semantics():
     anti = key_filter_join(left, rt, on="k", how="anti").to_pandas()
     assert list(semi["v"]) == ["c"]           # EXISTS: null never matches
     assert sorted(anti["v"]) == ["a", "b"]    # NOT EXISTS keeps null-key row
+
+
+def test_grouped_mean_skips_null_values():
+    """SQL AVG divides by the NON-NULL count; the combinable partial must
+    use g[col].count() (not g.size()) as the mean denominator."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array(["a", "a", "a", "b"], pa.string()),
+                  "v": pa.array([1.0, None, 3.0, 5.0])})
+    out = grouped_aggregate(
+        rd.from_arrow(t), "k", {"m": ("v", "mean")}
+    ).to_pandas().set_index("k")
+    assert float(out.loc["a", "m"]) == 2.0  # (1+3)/2, not (1+3)/3
+    assert float(out.loc["b", "m"]) == 5.0
+
+    # grouping-sets path shares the partial layout — same rule
+    from entity_resolution_ray.stages.analytics import grouping_sets_aggregate
+    gs = grouping_sets_aggregate(
+        rd.from_arrow(t), ["k"], [(["k"], 0)], {"m": ("v", "mean")}
+    ).to_pandas().set_index("k")
+    assert float(gs.loc["a", "m"]) == 2.0
+
+
+def test_hll_distinct_keeps_null_key_group():
+    import pandas as pd
+    import ray.data as rd
+    from entity_resolution_ray.stages.sketches import hll_distinct
+
+    df = pd.DataFrame({"g": ["x", None, "x", None, None],
+                       "v": [1, 2, 3, 2, 9]})
+    out = hll_distinct(rd.from_pandas(df), "g", "v").to_pandas()
+    assert len(out) == 2
+    null_row = out[out["g"].isna()]
+    assert int(null_row["n_approx"].iloc[0]) == 2  # values {2, 9}
