@@ -164,6 +164,34 @@ def _ann_lsh(sf_dir: str):
     )
 
 
+def _ivf_cache_dir(src: str) -> str:
+    """Content-stable index location for a corpus file: md5 of
+    (abspath, mtime) — identical across processes, invalidated when the
+    corpus is rewritten.  Kept importable so a cross-process test can
+    assert tag stability without Ray."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{os.path.getmtime(src)}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/ivf_index_{tag}"
+
+
+def _sweep_stale_ivf_dirs(keep: str, max_age_s: float = 86400.0) -> None:
+    """Remove /tmp/ivf_index_* directories not touched in a day (stale
+    mtime tags from rewritten corpora accumulate otherwise)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    for d in glob.glob("/tmp/ivf_index_*"):
+        if d != keep and now - os.path.getmtime(d) > max_age_s:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _ann_ivf(sf_dir: str):
     """IVF index-probing ANN: fit centroids, build the partitioned on-disk
     index once per (sf_dir, mtime), probe only the closest lists per query."""
@@ -179,8 +207,12 @@ def _ann_ivf(sf_dir: str):
     )
 
     src = f"{sf_dir}/embeddings.parquet"
-    tag = f"{abs(hash((os.path.abspath(src), os.path.getmtime(src)))):x}"
-    index_dir = f"/tmp/ivf_index_{tag}"
+    # content-stable tag (Python's hash() is salted per process and would
+    # rebuild the index every run); on a real cluster the index dir should
+    # live beside the corpus on the shared filesystem — /tmp here because
+    # the corpus dir is read-only in this sandbox
+    index_dir = _ivf_cache_dir(src)
+    _sweep_stale_ivf_dirs(keep=index_dir)
     cpath = os.path.join(index_dir, "centroids.npy")
     if os.path.exists(cpath):
         centroids = np.load(cpath)

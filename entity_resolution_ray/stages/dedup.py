@@ -190,22 +190,32 @@ def jaccard_neardup_pairs(ds, threshold: float = 0.4, num_perm: int = 128,
     joined = bloom_filtered_join(sh_dst, j1, on="dst", num_buckets=nb)
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # Grouped vectorized intersect: both sides' shingle arrays are
+        # unique per doc, so a (pair_id, value) appearing twice in the
+        # concatenation of the two sides is exactly one intersection hit.
+        # One lexsort over the whole batch replaces the former per-pair
+        # np.intersect1d loop (the last row-at-a-time loop in this
+        # pipeline's hot path).
         n = len(batch)
-        jac = np.zeros(n, dtype=np.float64)
-        src_sh = batch["src_sh"].to_list()
-        dst_sh = batch["dst_sh"].to_list()
         src_n = batch["src_n"].to_numpy(np.int64)
         dst_n = batch["dst_n"].to_numpy(np.int64)
-        for i in range(n):
-            na, nb = src_n[i], dst_n[i]
-            if na == 0 or nb == 0:
-                continue
-            inter = np.intersect1d(
-                np.frombuffer(src_sh[i], np.int64),
-                np.frombuffer(dst_sh[i], np.int64),
-                assume_unique=True,
-            ).size
-            jac[i] = inter / (na + nb - inter)
+        src_blob = b"".join(batch["src_sh"].to_list())
+        dst_blob = b"".join(batch["dst_sh"].to_list())
+        vals = np.concatenate([
+            np.frombuffer(src_blob, np.int64),
+            np.frombuffer(dst_blob, np.int64),
+        ])
+        rows = np.concatenate([
+            np.repeat(np.arange(n, dtype=np.int64), src_n),
+            np.repeat(np.arange(n, dtype=np.int64), dst_n),
+        ])
+        order = np.lexsort((vals, rows))
+        rows, vals = rows[order], vals[order]
+        dup = (rows[1:] == rows[:-1]) & (vals[1:] == vals[:-1])
+        inter = np.bincount(rows[1:][dup], minlength=n)
+        union = src_n + dst_n - inter
+        jac = np.divide(inter, union, out=np.zeros(n, np.float64),
+                        where=union > 0)
         out = batch[["src", "dst"]].copy()
         out["jaccard"] = np.round(jac, 6)
         return out[out["jaccard"] >= threshold]
@@ -293,18 +303,38 @@ def simhash_neardup_pairs(ds, max_hamming: int = 12, concurrency: int = 8):
 
 
 # --- embedding cosine -----------------------------------------------------
+def auto_bnl_buckets(n_rows: int, dim: int,
+                     target_flops: float = 2e9,
+                     max_buckets: int = 64) -> int:
+    """Bucket count for the block-nested-loop pair join, from the docstring
+    formula B ≈ √(corpus flops / per-task flops): per-group work is
+    ~(2n/B)²·dim/2 multiply-adds, so B = √(2·n²·dim / target).  Replication
+    factor is B — the cap keeps the shuffle volume ≤ 64× the corpus."""
+    if n_rows <= 1:
+        return 1
+    b = int(np.ceil(np.sqrt(2.0 * n_rows * n_rows * dim / target_flops)))
+    return int(np.clip(b, 1, max_buckets))
+
+
 def embedding_neardup_pairs(emb_ds, threshold: float = 0.9,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            num_buckets: int = 8):
+                            num_buckets: int | None = None):
     """All pairs with cosine ≥ threshold — exact, distributed.
 
     Block-nested-loop join: every row is hashed into one of B buckets and
     replicated to its B (i,j) bucket-pair groups; one ``groupby`` shuffle
     later each group holds exactly the rows of its two buckets and runs a
-    vectorized matmul.  Replication factor is B (pick B ≈ √(corpus flops /
-    per-task flops)); no driver-side materialization, no broadcast matrix —
-    this is the exact tier; the sub-quadratic approximate tier is the LSH
-    bucketing in ``stages/ann.py``."""
+    vectorized matmul.  Replication factor is B; ``num_buckets=None``
+    (default) auto-sizes B from the corpus row count and dimension via
+    ``auto_bnl_buckets`` — no driver-side materialization beyond the
+    metadata count, no broadcast matrix.  This is the exact tier, O(n²)
+    flops by construction; route large corpora through the sub-quadratic
+    ``embedding_neardup_lsh`` instead."""
+    if num_buckets is None:
+        n_rows = emb_ds.count()
+        first = emb_ds.limit(1).take_all()
+        dim = len(first[0][vec_col]) if first else 1
+        num_buckets = auto_bnl_buckets(n_rows, dim)
 
     def expand(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch[id_col].to_numpy()

@@ -578,3 +578,52 @@ def test_heavy_hitters_bounds():
     for i in range(5):
         t = int(true[f"hot{i}"])
         assert m.loc[f"hot{i}", "count_min"] <= t <= m.loc[f"hot{i}", "count_max"]
+
+
+def test_auto_bnl_buckets_sizing():
+    from entity_resolution_ray.stages.dedup import auto_bnl_buckets
+
+    assert auto_bnl_buckets(0, 64) == 1
+    assert auto_bnl_buckets(1, 64) == 1
+    # 10k x 64-dim: 2*1e8*64 / 2e9 = 6.4 -> ceil(sqrt)=3
+    assert auto_bnl_buckets(10_000, 64) == 3
+    # growth is ~linear in n (sqrt of n^2); cap at 64
+    assert auto_bnl_buckets(100_000, 64) == 26
+    assert auto_bnl_buckets(10_000_000, 64) == 64
+    # replication never exceeds the cap
+    assert auto_bnl_buckets(10**9, 1024) == 64
+
+
+def test_jaccard_verify_vectorized_parity(frame):
+    """The lexsort-based grouped intersect must match per-pair jaccard."""
+    import ray.data as rd
+    from entity_resolution_ray.stages.dedup import jaccard_neardup_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again!",
+        "a completely different document about database systems",
+        "a completely different document about database engines",
+        "",
+    ]
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(len(texts))],
+                       "text": texts})
+    out = jaccard_neardup_pairs(
+        rd.from_pandas(df), threshold=0.3, num_perm=64, num_bands=64
+    ).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+
+    # brute-force oracle
+    from entity_resolution_ray.functions.minhash import shingle_set
+    sets = {r.doc_id: set(shingle_set(r.text, 3)) for r in df.itertuples()}
+    expect = []
+    ids = sorted(sets)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sets[ids[i]], sets[ids[j]]
+            if not a or not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.3:
+                expect.append((ids[i], ids[j], round(jac, 6)))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == sorted(expect)

@@ -330,3 +330,33 @@ def test_events_sessions_window(sf_dir):
 
     n_events = rd.read_parquet(f"{sf_dir}/events.parquet").count()
     assert out["n_events"].sum() == n_events
+
+
+def test_ivf_cache_tag_stable_across_processes(sf_dir):
+    """The on-disk IVF index cache key must be process-independent (Python's
+    salted hash() rebuilt the index every driver run) and the second in-
+    process run must reuse the built index (centroids mtime unchanged)."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    import __ray_entry__ as entry
+
+    src = f"{sf_dir}/embeddings.parquet"
+    here = entry._ivf_cache_dir(src)
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, '/root/repo'); "
+         "import __ray_entry__ as e; "
+         f"print(e._ivf_cache_dir({src!r}))"],
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert out == here  # same tag from a fresh interpreter
+
+    shutil.rmtree(here, ignore_errors=True)
+    entry._ann_ivf(sf_dir)
+    cpath = os.path.join(here, "centroids.npy")
+    first_mtime = os.path.getmtime(cpath)
+    entry._ann_ivf(sf_dir)  # must hit the cache, not rebuild
+    assert os.path.getmtime(cpath) == first_mtime
