@@ -238,8 +238,18 @@ def cluster_documents(docs_path: str, cfg: ERConfig | None = None):
     docs = read_documents(docs_path, min_partitions=cfg.min_read_partitions)
     featured = featured_documents(docs, cfg)
     # featured is consumed by three downstream passes (idf fit, pair-gen,
-    # cluster attach) — materialize once instead of recomputing the tagger
-    featured = featured.materialize()
+    # cluster attach) — materialize once instead of recomputing the tagger.
+    # Prune to the union of downstream payloads first: content (the widest
+    # column), media_refs, name_tokens and the secondary phonetic keys are
+    # consumed inside the fused tag+vectorize stage and would otherwise ride
+    # the object store (and every later select_columns read) for nothing —
+    # ~40% of the materialized bytes at 1.2M docs
+    from entity_resolution_ray.stages.blocking import PAIR_PAYLOAD_COLS
+
+    pipeline_cols = list(PAIR_PAYLOAD_COLS) + [S.SPANS]
+    if cfg.use_feature_tfidf:
+        pipeline_cols += ["ftr_idx", "ftr_cnt"]
+    featured = featured.select_columns(pipeline_cols).materialize()
     _mark("featured")
     if featured.count() == 0:
         # empty corpus (a filter can empty a shard at scale): return typed
@@ -291,9 +301,14 @@ def cluster_documents(docs_path: str, cfg: ERConfig | None = None):
     _mark("accepted")
     keep_cols = [S.DOC_ID, S.SPANS, S.ENTITY_NAME, S.BLOCK_KEY]
     docs_slim = featured.select_columns(keep_cols)
+    # dispatch hint = ACCEPTED edge count (one cheap filter pass over the
+    # materialized edge table): the all-edges count overshoots the broadcast
+    # cap ~3-10x and forced the label attach onto the partitioned cogroup —
+    # a full shuffle of the spans-carrying docs table that the sorted-array
+    # broadcast avoids whenever 2x accepted edges fits the cap
     clustered = assign_clusters(
         docs_slim, accepted, mode=cfg.cc_mode,
-        n_edges_hint=edges_all.count(),  # free: edges_all is materialized
+        n_edges_hint=accepted.count(),
     )
     _mark("assign")
     return clustered, edges_all
