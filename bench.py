@@ -93,6 +93,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     headline = time.time() - t0
     queries["er_flagship"] = round(headline, 3)
 
+    # actor-pool variant (VERDICT r3 #3): same flagship with the tagger/
+    # vectorizer and scorer running as actor pools — per-actor __init__
+    # amortization measured against the stateless-task default above
+    if not override_docs:
+        t0 = time.time()
+        pool_clustered, _ = cluster_documents(
+            docs_path, ERConfig(use_actor_pools=True)
+        )
+        pool_clustered.count()
+        queries["er_flagship_actor_pool"] = round(time.time() - t0, 3)
+
     secondary = [
         ("q1_pricing_summary", None),
         ("segment_revenue", None),
@@ -222,9 +233,67 @@ def _compute_control(lo: int, hi: int, repeats: int = 3) -> float | None:
     return round((walls[lo] / walls[hi]) / (hi / lo), 3)
 
 
+def run_dedup_scale(n_docs: int, num_cpus: int) -> dict:
+    """Near-dedup tier at scale: MinHash-LSH candidate pairs + exact jaccard
+    verify + transitive CC clusters over a planted-dup corpus.  Driver-side
+    state stays bounded (hot-key census + residual CC graph only)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from entity_resolution_ray.fixtures.generator import dedup_fixture_dir_for
+    from entity_resolution_ray.stages.dedup import (
+        jaccard_neardup_pairs,
+        neardup_clusters,
+    )
+    from entity_resolution_ray.tuning import apply_context_defaults
+
+    apply_context_defaults()
+    fx = dedup_fixture_dir_for(n_docs)
+    ds = rd.read_parquet(
+        f"{fx}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=max(64, 4 * num_cpus),
+    )
+    t0 = time.time()
+    pairs = jaccard_neardup_pairs(
+        ds, threshold=0.7, ngram=3, num_perm=128, num_bands=32
+    ).materialize()
+    t_pairs = time.time() - t0
+    n_pairs = pairs.count()
+    t0 = time.time()
+    labels = neardup_clusters(
+        pairs, num_buckets=max(4, min(64, n_pairs // 50_000 + 4))
+    ).materialize()
+    t_cc = time.time() - t0
+    return {
+        "metric": "dedup_scale",
+        "n_docs": n_docs,
+        "num_cpus": num_cpus,
+        "pairs_verified": int(n_pairs),
+        "labeled_nodes": int(labels.count()),
+        "pairs_wall_sec": round(t_pairs, 3),
+        "cc_wall_sec": round(t_cc, 3),
+        "docs_per_sec": round(n_docs / (t_pairs + t_cc), 1),
+    }
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--dedup-scale" in sys.argv:
+        n_docs = int(os.environ.get("GRAFT_DEDUP_DOCS", "1200000"))
+        print(json.dumps(run_dedup_scale(n_docs, num_cpus)))
+        import ray
+
+        ray.shutdown()
+        return
 
     if "--scaling" in sys.argv:
         levels = [

@@ -416,3 +416,54 @@ def fixture_dir_for(n_docs: int, seed: int = 42, root: str = "/tmp/er_fixtures")
     out = os.path.join(root, f"docs{n_docs}_seed{seed}")
     generate(out, GeneratorConfig(n_docs=n_docs, seed=seed))
     return out
+
+
+def dedup_fixture_dir_for(n_docs: int, seed: int = 7,
+                          dup_rate: float = 0.15,
+                          root: str = "/tmp/dedup_fixtures") -> str:
+    """Deterministic (doc_id, text) corpus for near-dedup scale benchmarks.
+
+    ~``dup_rate`` of docs are near-copies of an earlier doc in the same
+    shard with 1-3 token substitutions (word-3-gram jaccard ≥ ~0.85), the
+    rest are independent 30-60-token samples from a 50k-word vocabulary.
+    Generated shard-by-shard with a per-shard seeded RNG (bounded memory,
+    order-independent), sharded parquet output.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(root, f"docs{n_docs}_seed{seed}")
+    docs_dir = os.path.join(out, "documents.parquet")
+    done = os.path.join(out, ".done")
+    if os.path.exists(done):
+        return out
+    os.makedirs(docs_dir, exist_ok=True)
+    vocab = np.array([f"w{k:05d}" for k in range(50_000)])
+    shard_rows = 100_000
+    n_shards = (n_docs + shard_rows - 1) // shard_rows
+    for s in range(n_shards):
+        rng = np.random.default_rng((seed, s))
+        n = min(shard_rows, n_docs - s * shard_rows)
+        texts: list[str] = []
+        for i in range(n):
+            if texts and rng.random() < dup_rate:
+                src = texts[int(rng.integers(0, len(texts)))].split()
+                for _ in range(int(rng.integers(1, 4))):
+                    src[int(rng.integers(0, len(src)))] = vocab[
+                        int(rng.integers(0, len(vocab)))
+                    ]
+                texts.append(" ".join(src))
+            else:
+                ln = int(rng.integers(30, 61))
+                texts.append(" ".join(vocab[rng.integers(0, len(vocab), ln)]))
+        ids = [f"d{s * shard_rows + i:09d}" for i in range(n)]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.string()),
+                      "text": pa.array(texts, pa.string())}),
+            os.path.join(docs_dir, f"part-{s:04d}.parquet"),
+            row_group_size=8192,
+        )
+    with open(done, "w") as f:
+        f.write("ok")
+    return out

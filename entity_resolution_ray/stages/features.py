@@ -135,6 +135,44 @@ def extract_features(ds, concurrency: int | tuple = (1, 8), batch_size: int = 10
     )
 
 
+class HeavyInitTagger(FeatureTagger):
+    """FeatureTagger behind a deliberately expensive model load — the swap-in
+    point for a REAL model-holding stage (reference: spaCy ``en_core_web_sm``
+    loaded once per worker and batched through ``nlp.pipe``,
+    ``am_combiner/features/common.py:65-136``; the pickled-sklearn
+    vectorizers of ``features/vectorisation.py:18-66`` have the same shape).
+
+    ``__init__`` allocates ``state_mb`` MiB and sleeps ``load_sec`` to stand
+    in for deserializing a model artifact; with
+    ``map_batches(HeavyInitTagger, concurrency=N)`` Ray constructs it exactly
+    N times (once per actor) however many batches flow through — the
+    amortization contract the engine's actor-pool seam
+    (``ERConfig.use_actor_pools``) relies on.  ``counter_name`` (optional)
+    names a Ray actor whose ``incr`` is called per construction, so a test
+    can assert init-count == actor-count.
+    """
+
+    def __init__(self, state_mb: int = 64, load_sec: float = 0.5,
+                 counter_name: str | None = None):
+        import time
+
+        import numpy as np
+
+        super().__init__()
+        if counter_name is not None:
+            import ray
+
+            ray.get(ray.get_actor(counter_name).incr.remote())
+        time.sleep(load_sec)
+        # the "model": page-touched heap state each batch reads through
+        self._model = np.full((state_mb << 20) // 8, 1.0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # touch the model state so the allocation can't be optimized away
+        assert float(self._model[:: 1 << 16].sum()) > 0
+        return super().__call__(batch)
+
+
 def add_domain_column(ds, url_col: str = S.DOC_ID, out_col: str = "domain"):
     """netloc of a URL-ish column (reference ``UrlDomainVisitor``,
     ``am_combiner/features/domain.py:6-26``)."""
