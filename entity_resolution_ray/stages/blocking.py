@@ -74,6 +74,23 @@ PAIR_PAYLOAD_COLS = [
 FEATURE_COLS = ["person_clean", "org", "gpe", "loc"]
 
 
+_TRIU_CACHE: dict[int, tuple] = {}
+
+
+def _triu(m: int) -> tuple:
+    """np.triu_indices(m, 1) with a small-size cache: the numpy call builds
+    an O(m²) mask matrix every time, which dominates pair generation when
+    postings/blocks are tiny (measured ~40% of the bucket kernel); sizes
+    ≤ 64 repeat constantly and cost ~1.4 MB total to keep."""
+    if m > 64:
+        return np.triu_indices(m, 1)
+    t = _TRIU_CACHE.get(m)
+    if t is None:
+        t = np.triu_indices(m, 1)
+        _TRIU_CACHE[m] = t
+    return t
+
+
 def _posting_pairs(n_docs: int, postings: list[np.ndarray], inverse_degree: bool = False):
     """Vectorized pair weights from posting lists (i<j), reference adjacency
     semantics: weight(i,j) = #shared values (or sum of 1/len(posting))."""
@@ -82,7 +99,7 @@ def _posting_pairs(n_docs: int, postings: list[np.ndarray], inverse_degree: bool
         m = len(post)
         if m < 2:
             continue
-        a, b = np.triu_indices(m, 1)
+        a, b = _triu(m)
         ii.append(post[a])
         jj.append(post[b])
         w = np.full(len(a), 1.0 / m if inverse_degree else 1.0, dtype=np.float64)
@@ -289,6 +306,184 @@ class BlockPairGenerator:
         d = self.pairs_for_slice(cols, 0, len(group), salted)
         return pd.DataFrame(d if d is not None else self.EMPTY)
 
+    # ---- flattened-Arrow fast path -------------------------------------
+    # The bucket arrives as ONE Arrow table; list columns are consumed as
+    # (flat values, absolute offsets) numpy views instead of per-cell
+    # ndarray objects, and the per-block TF matrix / posting / media / DOB
+    # kernels below are fully vectorized over the flat layout — no
+    # arrow→pandas conversion, no per-row Python in the hot stage.
+
+    LIST_COLS = ("person_clean", "org", "gpe", "loc", "dob_years",
+                 "media_vec", "tf_idx", "tf_cnt")
+
+    @staticmethod
+    def flatten_table(tbl: pa.Table) -> dict:
+        """Sort by (salt_key, doc_id) and extract flat numpy views."""
+        tbl = tbl.sort_by([("salt_key", "ascending"), (S.DOC_ID, "ascending")])
+        flat: dict = {"__n": len(tbl)}
+        for name in tbl.column_names:
+            col = tbl[name].combine_chunks()
+            if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+                off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                v = col.values.to_numpy(zero_copy_only=False)
+                # normalize slice base so off[0] == 0 indexes v directly
+                base = off[0]
+                if base or off[-1] != len(v):
+                    v = v[base:off[-1]]
+                    off = off - base
+                # null cells become zero-length (canonical arrays give null
+                # slots equal offsets; compact defensively otherwise)
+                if col.null_count:
+                    valid = ~col.is_null().to_numpy(zero_copy_only=False)
+                    lens = np.where(valid, off[1:] - off[:-1], 0)
+                    new_off = np.concatenate(
+                        ([0], np.cumsum(lens, dtype=np.int64))
+                    )
+                    if new_off[-1] != len(v):
+                        keep = np.zeros(len(v), bool)
+                        for i in np.flatnonzero(valid):
+                            keep[off[i]:off[i + 1]] = True
+                        v = v[keep]
+                    off = new_off
+                flat[name] = (v, off)
+            else:
+                flat[name] = col.to_numpy(zero_copy_only=False)
+        return flat
+
+    def _tf_cosine_flat(self, flat, s, e, i_idx, j_idx, idx_col, cnt_col,
+                        idf) -> np.ndarray:
+        """Within-block cosine over flattened sparse TF rows — vectorized
+        local-vocab dense matrix (same math as _local_tf_matrix)."""
+        n = e - s
+        toff = flat[idx_col][1]
+        lo, hi = toff[s], toff[e]
+        tokens = flat[idx_col][0][lo:hi]
+        counts = flat[cnt_col][0][lo:hi]
+        if len(tokens) == 0:
+            return np.zeros(len(i_idx), dtype=np.float64)
+        lens = toff[s + 1:e + 1] - toff[s:e]
+        rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq, inv = np.unique(tokens, return_inverse=True)
+        vals = counts.astype(np.float64)
+        if idf is not None:
+            vals = vals * idf[tokens]
+        norms = np.sqrt(np.bincount(rows, weights=vals * vals, minlength=n))
+        nz = norms[rows] > 0
+        vals[nz] = vals[nz] / norms[rows][nz]
+        X = np.zeros((n, len(uniq)), dtype=np.float32)
+        X[rows, inv] = vals
+        return _pairwise_cosine(X, i_idx, j_idx)
+
+    def _postings_flat(self, flat, s, e) -> list[np.ndarray]:
+        """value→member postings for all feature columns of block [s:e) —
+        one stable argsort per column instead of per-row dict appends."""
+        n = e - s
+        out: list[np.ndarray] = []
+        for col in FEATURE_COLS:
+            voff = flat[col][1]
+            lo, hi = voff[s], voff[e]
+            vals = flat[col][0][lo:hi]
+            if len(vals) == 0:
+                continue
+            lens = voff[s + 1:e + 1] - voff[s:e]
+            rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+            _, inv = np.unique(vals, return_inverse=True)
+            order = np.argsort(inv, kind="stable")  # doc order within value
+            g = inv[order]
+            members = rows[order]
+            bounds = np.concatenate(
+                ([0], np.flatnonzero(g[1:] != g[:-1]) + 1, [len(g)])
+            )
+            cap = self.posting_cap
+            for b in range(len(bounds) - 1):
+                m = members[bounds[b]:bounds[b + 1]]
+                out.append(m[:cap] if len(m) > cap else m)
+        return out
+
+    def pairs_for_slice_flat(self, flat: dict, s: int, e: int,
+                             salted: bool) -> dict | None:
+        """Arrow-flat equivalent of ``pairs_for_slice`` (same outputs)."""
+        n = e - s
+        if n < 2:
+            return None
+
+        fi, fj, fw = _posting_pairs(
+            n, self._postings_flat(flat, s, e), self.inverse_degree
+        )
+        if n <= self.all_pairs_cap and not salted:
+            ai, aj = np.triu_indices(n, 1)
+            codes_f = fi * n + fj
+            codes_a = ai.astype(np.int64) * n + aj
+            wmap = np.zeros(n * n, dtype=np.float64)
+            wmap[codes_f] = fw
+            i_idx, j_idx, w = ai, aj, wmap[codes_a]
+        else:
+            i_idx, j_idx, w = fi, fj, fw
+        if len(i_idx) == 0:
+            return None
+
+        idf = self._get_idf()
+        cos = self._tf_cosine_flat(flat, s, e, i_idx, j_idx,
+                                   "tf_idx", "tf_cnt", idf)
+        if "ftr_idx" in flat:
+            ftr_cos = self._tf_cosine_flat(flat, s, e, i_idx, j_idx,
+                                           "ftr_idx", "ftr_cnt", None)
+        else:
+            ftr_cos = np.zeros(len(i_idx), dtype=np.float64)
+
+        from entity_resolution_ray.functions.vectorize import MEDIA_EMBED_DIM
+
+        moff = flat["media_vec"][1]
+        mlens = moff[s + 1:e + 1] - moff[s:e]
+        has_media = mlens == MEDIA_EMBED_DIM
+        M = np.zeros((n, MEDIA_EMBED_DIM), dtype=np.float64)
+        if has_media.any():
+            starts = (moff[s:e] - moff[s])[has_media]
+            mvals = flat["media_vec"][0][moff[s]:moff[e]].astype(np.float64)
+            M[has_media] = mvals[
+                starts[:, None] + np.arange(MEDIA_EMBED_DIM, dtype=np.int64)
+            ]
+        media_cos = np.einsum("ij,ij->i", M[i_idx], M[j_idx])
+        media_cos[~(has_media[i_idx] & has_media[j_idx])] = 0.0
+
+        doff = flat["dob_years"][1]
+        dlens = doff[s + 1:e + 1] - doff[s:e]
+        dob_min = np.full(n, np.nan)
+        dob_max = np.full(n, np.nan)
+        if dlens.any():
+            drows = np.repeat(np.arange(n, dtype=np.int64), dlens)
+            dvals = flat["dob_years"][0][doff[s]:doff[e]].astype(np.float64)
+            mn = np.full(n, np.inf)
+            mx = np.full(n, -np.inf)
+            np.minimum.at(mn, drows, dvals)
+            np.maximum.at(mx, drows, dvals)
+            got = dlens > 0
+            dob_min[got] = mn[got]
+            dob_max[got] = mx[got]
+        a_min, a_max = dob_min[i_idx], dob_max[i_idx]
+        b_min, b_max = dob_min[j_idx], dob_max[j_idx]
+        swapped = b_min < a_min
+        lo_max = np.where(swapped, b_max, a_max)
+        hi_min = np.where(swapped, a_min, b_min)
+        with np.errstate(invalid="ignore"):
+            neg = (hi_min - lo_max) > self.dob_distance
+        neg &= ~np.isnan(a_min) & ~np.isnan(b_min)
+
+        ids = flat[S.DOC_ID][s:e]
+        names = flat[S.ENTITY_NAME][s:e]
+        return {
+            S.BLOCK_KEY: np.repeat(flat[S.BLOCK_KEY][s], len(i_idx)),
+            "src": ids[i_idx],
+            "dst": ids[j_idx],
+            "weight": w,
+            "cosine": cos,
+            "ftr_cos": ftr_cos,
+            "media_cos": media_cos,
+            "neg_dob": neg,
+            "src_name": names[i_idx],
+            "dst_name": names[j_idx],
+        }
+
 
 def hot_block_sizes(keys_ds, key_col: str, threshold: int,
                     num_buckets: int = 64) -> pd.Series:
@@ -350,26 +545,32 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
     if "ftr_idx" in schema_names:
         payload_cols += ["ftr_idx", "ftr_cnt"]
 
-    def generate_pairs(bucket_group: pd.DataFrame) -> pd.DataFrame:
-        # one ray-level group per hash BUCKET of block keys.  The bucket is
-        # sorted ONCE by (salt_key, doc_id), columns extracted ONCE to numpy,
-        # and blocks processed as array slices — per-block pandas frame
-        # construction measured ~60% of this stage's CPU at typical block
-        # sizes
+    _EMPTY_PAIRS = pa.schema([
+        (S.BLOCK_KEY, pa.string()), ("src", pa.string()),
+        ("dst", pa.string()), ("weight", pa.float64()),
+        ("cosine", pa.float64()), ("ftr_cos", pa.float64()),
+        ("media_cos", pa.float64()), ("neg_dob", pa.bool_()),
+        ("src_name", pa.string()), ("dst_name", pa.string()),
+    ]).empty_table()
+
+    def generate_pairs(bucket_group: pa.Table) -> pa.Table:
+        # one ray-level group per hash BUCKET of block keys.  The bucket
+        # stays ARROW end-to-end: sorted once by (salt_key, doc_id), list
+        # columns consumed as (flat values, offsets) numpy views, blocks
+        # processed as offset slices — the arrow→pandas bucket conversion
+        # (per-cell ndarray wrapping of 7 list columns) and the per-row
+        # Python in the TF/posting kernels measured ~35% of this stage
         if len(bucket_group) == 0:
-            return pd.DataFrame(BlockPairGenerator.EMPTY)
-        g = bucket_group.sort_values(
-            ["salt_key", S.DOC_ID], kind="mergesort"
-        ).reset_index(drop=True)
-        cols = {c: g[c].to_numpy() for c in g.columns}
-        sk = cols["salt_key"]
+            return _EMPTY_PAIRS
+        flat = gen.flatten_table(bucket_group)
+        sk = flat["salt_key"]
         change = np.flatnonzero(sk[1:] != sk[:-1]) + 1
         starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(g)]))
+        ends = np.concatenate((change, [len(sk)]))
         outs = []
         if timing_actor is None:
             for s, e in zip(starts, ends):
-                d = gen.pairs_for_slice(cols, int(s), int(e), "#" in sk[s])
+                d = gen.pairs_for_slice_flat(flat, int(s), int(e), "#" in sk[s])
                 if d is not None:
                     outs.append(d)
         else:
@@ -380,7 +581,7 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
             partial: dict[int, list] = {}
             for s, e in zip(starts, ends):
                 t0 = _time.perf_counter()
-                d = gen.pairs_for_slice(cols, int(s), int(e), "#" in sk[s])
+                d = gen.pairs_for_slice_flat(flat, int(s), int(e), "#" in sk[s])
                 dt = _time.perf_counter() - t0
                 size = int(e - s)
                 acc = partial.get(size)
@@ -395,11 +596,20 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
                 {k: (v[0], v[1]) for k, v in partial.items()}
             ))
         if not outs:
-            return pd.DataFrame(BlockPairGenerator.EMPTY)
+            return _EMPTY_PAIRS
         merged = {
             k: np.concatenate([o[k] for o in outs]) for k in outs[0]
         }
-        return pd.DataFrame(merged)
+        # cosine comes back float32 from the small-block gram path and
+        # float64 from the chunked path: pin all float outputs to float64
+        # so every arrow block in the stream shares one schema
+        for k, v in merged.items():
+            if v.dtype == np.float32:
+                merged[k] = v.astype(np.float64)
+        return pa.table(
+            {k: pa.array(v) if v.dtype != object else pa.array(v, pa.string())
+             for k, v in merged.items()}
+        )
 
     narrow = featured_ds.select_columns(payload_cols)
 
@@ -449,7 +659,7 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
         return (
             narrow.map_batches(with_key, batch_format="pyarrow")
             .groupby("__bucket")
-            .map_groups(generate_pairs, batch_format="pandas")
+            .map_groups(generate_pairs, batch_format="pyarrow")
         )
 
     import ray
@@ -491,7 +701,7 @@ def block_candidate_pairs(featured_ds, idf_ref=None, salt_threshold: int = 2000,
     pairs = (
         narrow.map_batches(salt, batch_format="pyarrow")
         .groupby("__bucket")
-        .map_groups(generate_pairs, batch_format="pandas")
+        .map_groups(generate_pairs, batch_format="pyarrow")
         .materialize()
     )
 
