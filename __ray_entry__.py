@@ -528,6 +528,125 @@ where contains(lower(d.text), k.keyword)
 """
 
 
+def _sanctions_struct_fields(sf_dir: str):
+    """SQL-expressible subset of the sanction extractor battery under a
+    DuckDB oracle (reference ``am_combiner/features/common.py:419-630``,
+    ``organisation_visitors.py:25-140``, ``sanction_term.py:14-58``,
+    ``vectorisation.py:247-339``): the raw nested-struct corpus is dumped to
+    parquet and the oracle recomputes YOB-range/known-year, country codes,
+    normalized passports, registration-number org ids, designation years,
+    nationality/aml sets, term lifts and the display-field summary with
+    unnest + list comprehensions.  The phonetic / bigram / address-resolver
+    columns stay pytest-verified under ``sanctions_features`` — Soundex and
+    the gazetteer resolver aren't reasonable SQL.  List outputs are
+    comma-joined for a repr-stable compare (``type_brand_list``
+    convention)."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.sanctions import (
+        org_features,
+        sanction_features,
+        sanction_terms,
+        synth_sanctions,
+    )
+
+    n = max(200, min(20_000, _er_docs_for(sf_dir) // 10))
+    raw = synth_sanctions(n)
+    os.makedirs("/tmp/sanctions_oracle", exist_ok=True)
+    base = os.path.basename(sf_dir.rstrip("/"))
+    pq.write_table(raw, f"/tmp/sanctions_oracle/raw_{base}.parquet")
+
+    ds = sanction_terms(
+        org_features(sanction_features(rd.from_arrow(raw))),
+        ["Program", "Reason"],
+    )
+    cols = ["sanction_id", "type", "yob_range", "yob_known", "country_codes",
+            "passport_ids", "org_ids", "designation_years",
+            "nationality_codes", "aml_type_set", "term_program",
+            "term_reason", "full_text_summary"]
+    list_cols = [c for c in cols
+                 if c not in ("sanction_id", "type", "full_text_summary")]
+
+    def stringify(df: pd.DataFrame) -> pd.DataFrame:
+        for c in list_cols:
+            df[c] = [",".join(str(v) for v in arr) for arr in df[c]]
+        return df
+
+    return ds.select_columns(cols).map_batches(
+        stringify, batch_format="pandas"
+    )
+
+
+def _sanctions_struct_fields_sql() -> str:
+    from entity_resolution_ray.stages.sanctions import JSON_SUMMARY_TITLES
+
+    titles = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(JSON_SUMMARY_TITLES)
+    )
+    # the extractor's token split: _SPLIT_RE characters -> ' '
+    split = "[,/)(.;''`-]"
+    return f"""
+with raw as (
+  select * from read_parquet('/tmp/sanctions_oracle/raw_sf0.01.parquet')
+)
+select
+  sanction_id,
+  type,
+  coalesce(array_to_string(list_sort(list_distinct(flatten(
+    [range(b.min_year::bigint, b.max_year::bigint + 1) for b in births
+     if b.min_year is not null and b.max_year is not null
+        and b.max_year >= b.min_year]))), ','), '') as yob_range,
+  coalesce(array_to_string(list_sort(list_distinct(
+    [b.min_year::bigint for b in births
+     if b.min_year is not null and b.max_year is not null
+        and b.min_year = b.max_year])), ','), '') as yob_known,
+  coalesce(array_to_string(list_sort(list_distinct(
+    [upper(l.country_code) for l in locations
+     if coalesce(l.country_code, '') <> ''
+        and lower(l.country_code) <> 'international'])), ','), '')
+    as country_codes,
+  coalesce(array_to_string(list_sort(list_distinct(
+    [regexp_replace(upper(p), '[^A-Z0-9]', '', 'g') for p in passports
+     if regexp_replace(upper(coalesce(p, '')), '[^A-Z0-9]', '', 'g') <> ''])),
+    ','), '') as passport_ids,
+  coalesce(array_to_string(list_sort(list_distinct(flatten(
+    [[t for t in str_split(
+        regexp_replace(coalesce(d.value, ''), '{split}', ' ', 'g'), ' ')
+      if len(t) >= 5 and regexp_matches(substr(t, 3), '^[0-9]+$')
+         and t not like '%1001']
+     for d in display_fields if d.title = 'Registration Number']))), ','), '')
+    as org_ids,
+  coalesce(array_to_string(list_sort(list_distinct(flatten(
+    [[t::bigint for t in str_split(
+        regexp_replace(coalesce(d.value, ''), '{split}', ' ', 'g'), ' ')
+      if regexp_matches(t, '^[0-9]{{4}}$')]
+     for d in display_fields if d.title = 'Designation Date']))), ','), '')
+    as designation_years,
+  coalesce(array_to_string(list_sort(list_distinct(
+    [upper(n.country_code) for n in nationalities
+     if coalesce(n.country_code, '') <> ''])), ','), '') as nationality_codes,
+  coalesce(array_to_string(list_sort(list_distinct(
+    [a.aml_type for a in aml_types
+     if coalesce(a.aml_type, '') <> ''])), ','), '') as aml_type_set,
+  coalesce(array_to_string(list_sort(list_distinct(
+    [substr(d.value, 1, 2000) for d in display_fields
+     if upper(replace(coalesce(d.title, ''), ' ', '_')) = 'PROGRAM'
+        and coalesce(d.value, '') <> ''])), ','), '') as term_program,
+  coalesce(array_to_string(list_sort(list_distinct(
+    [substr(d.value, 1, 2000) for d in display_fields
+     if upper(replace(coalesce(d.title, ''), ' ', '_')) = 'REASON'
+        and coalesce(d.value, '') <> ''])), ','), '') as term_reason,
+  coalesce(array_to_string(
+    [coalesce(d.value, '') for d in display_fields
+     if d.title in ({titles})], '.'), '') as full_text_summary
+from raw
+"""
+
+
 def _er_pair_weights(sf_dir: str):
     """Flagship pair-generation semantics under a SQL oracle: the featured
     table (tagger output taken as given data) is written to a parquet the
@@ -703,6 +822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_terms": _doc_terms,
         "simhash_pairs": _simhash_pairs,
         "doc_keywords": _doc_keywords,
+        "sanctions_struct_fields": _sanctions_struct_fields,
         # relational / analytics operators (SQL-oracled)
         "q1_pricing_summary": R.q1_pricing_summary,
         "segment_revenue": R.q_segment_revenue,
@@ -842,4 +962,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_embeddings": R.Q_DOC_EMBEDDINGS_SQL,
         "doc_keywords": DOC_KEYWORDS_SQL,
         "simhash_pairs": SIMHASH_PAIRS_SQL,
+        "sanctions_struct_fields": _sanctions_struct_fields_sql(),
     }

@@ -360,3 +360,33 @@ def test_ivf_cache_tag_stable_across_processes(sf_dir):
     first_mtime = os.path.getmtime(cpath)
     entry._ann_ivf(sf_dir)  # must hit the cache, not rebuild
     assert os.path.getmtime(cpath) == first_mtime
+
+
+def test_sanctions_struct_fields_matches_sql_oracle(sf_dir):
+    """The SQL-expressible extractor subset must match its DuckDB oracle
+    bit-for-bit at test scale (the driver's compare, in miniature)."""
+    import duckdb
+    import numpy as np
+
+    import __ray_entry__ as entry
+
+    mine = entry._sanctions_struct_fields(sf_dir).to_pandas()
+    sql = entry._sanctions_struct_fields_sql().replace(
+        "raw_sf0.01.parquet",
+        f"raw_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}.parquet",
+    )
+    oracle = duckdb.connect().execute(sql).df()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].astype(str)
+            elif np.issubdtype(df[c].dtype, np.floating):
+                df[c] = np.round(df[c].astype(np.float64), 6)
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+            drop=True)
+
+    a, b = canon(mine), canon(oracle)
+    assert len(a) == len(b) and list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b)
