@@ -73,7 +73,10 @@ class DecodeMedia:
         self.mode = mode
         self.feat_dim = feat_dim
         if mode == "real":
-            # codec import/model load would go here (once per actor)
+            # codec import/model load goes here (once per actor); fetch the
+            # model weights through the node-local artifact cache:
+            #   from entity_resolution_ray.state.artifacts import ensure_artifact
+            #   path = ensure_artifact(model_uri)  # once per node
             raise NotImplementedError(
                 "no image/audio codecs in this environment; use mode='fake'"
             )
