@@ -823,6 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _simhash_pairs,
         "doc_keywords": _doc_keywords,
         "sanctions_struct_fields": _sanctions_struct_fields,
+        "winnow_fingerprints": R.q_winnow_fingerprints,
         # relational / analytics operators (SQL-oracled)
         "q1_pricing_summary": R.q1_pricing_summary,
         "segment_revenue": R.q_segment_revenue,
@@ -963,4 +964,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": DOC_KEYWORDS_SQL,
         "simhash_pairs": SIMHASH_PAIRS_SQL,
         "sanctions_struct_fields": _sanctions_struct_fields_sql(),
+        "winnow_fingerprints": R.Q_WINNOW_FINGERPRINTS_SQL,
     }

@@ -2045,3 +2045,38 @@ select lang, doc_id, rn from (
   from documents
 ) where rn <= 3
 """
+
+
+# --- 51. winnowing fingerprints (MOSS) ---------------------------------------
+def q_winnow_fingerprints(sf_dir: str, shingle: int = 3, window: int = 4):
+    """Winnowing fingerprint table over documents: distinct per-window
+    minimum of md5-lower-64 word-shingle hashes (Schleimer et al. 2003).
+    One streaming map_batches — no shuffle; consumers join on fingerprint
+    for guaranteed-overlap near-dup candidates."""
+    from entity_resolution_ray.stages.textstats import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_fingerprints(ds, shingle=shingle, window=window)
+
+
+Q_WINNOW_FINGERPRINTS_SQL = """
+with toks as (
+  select doc_id,
+         regexp_extract_all(lower(strip_accents(text)), '[a-z0-9]+') as tk
+  from documents
+), grams as (
+  select doc_id,
+         [md5_number_lower(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+          for i in range(1, len(tk) - 1)] as h
+  from toks
+  where len(tk) >= 3
+), fps as (
+  select doc_id,
+         case when len(h) >= 4
+              then [list_min(h[i:i+3]) for i in range(1, len(h) - 2)]
+              else [list_min(h)] end as fp
+  from grams
+)
+select distinct doc_id, unnest(fp) as fingerprint
+from fps
+"""

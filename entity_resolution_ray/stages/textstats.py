@@ -86,3 +86,70 @@ def oracle_token_expr(col: str = "text") -> str:
     return (
         f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x != '')"
     )
+
+
+class WinnowFingerprints:
+    """Winnowing document fingerprinter (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every ``shingle``-word gram,
+    slide a ``window`` over consecutive gram hashes, keep each window's
+    minimum; the distinct minima are the document's fingerprint set.  Any
+    two documents sharing a run of ``shingle + window - 1`` words are
+    guaranteed to share a fingerprint, so equal-fingerprint buckets are
+    near-dup candidates at ~1/window the cost of keeping every gram.
+
+    The gram hash is md5-lower-64 (DuckDB's ``md5_number_lower``) so the
+    whole operator reproduces bit-for-bit in the SQL oracle — same trade
+    as SimHash (functions/minhash.py): any 64-bit hash gives equivalent
+    selectivity; this one buys a correctness oracle."""
+
+    def __init__(self, shingle: int = 3, window: int = 4):
+        from entity_resolution_ray.utils.hashing import md5_hash64_array
+
+        self.shingle = shingle
+        self.window = window
+        self._hash = md5_hash64_array
+
+    def _doc_fingerprints(self, text: str) -> np.ndarray:
+        toks = tokenize_words(text or "")
+        k, w = self.shingle, self.window
+        m = len(toks) - k + 1
+        if m <= 0:
+            return np.empty(0, dtype=np.uint64)
+        h = self._hash([" ".join(toks[i:i + k]) for i in range(m)])
+        if m >= w:
+            mins = np.minimum.reduce([h[j:m - w + 1 + j] for j in range(w)])
+        else:
+            mins = h.min(keepdims=True)
+        return np.unique(mins)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_ids: list = []
+        out_fps: list[np.ndarray] = []
+        for i, text in enumerate(batch["text"].to_pylist()):
+            fps = self._doc_fingerprints(text)
+            if len(fps):
+                out_ids.append(np.repeat(ids[i], len(fps)))
+                out_fps.append(fps)
+        if not out_ids:
+            return pa.table({
+                "doc_id": pa.array([], batch["doc_id"].type),
+                "fingerprint": pa.array([], pa.uint64()),
+            })
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_ids)).cast(batch["doc_id"].type),
+            "fingerprint": pa.array(np.concatenate(out_fps), pa.uint64()),
+        })
+
+
+def winnow_fingerprints(ds, shingle: int = 3, window: int = 4,
+                        concurrency=(1, 8), batch_size: int = 2048):
+    """Exploded (doc_id, fingerprint) winnowing table — the input to
+    shared-fingerprint near-dup candidate joins and plagiarism-style
+    containment checks."""
+    return ds.map_batches(
+        WinnowFingerprints,
+        fn_constructor_kwargs={"shingle": shingle, "window": window},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

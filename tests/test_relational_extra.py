@@ -56,11 +56,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     (R.q_customer_upsert, R.Q_CUSTOMER_UPSERT_SQL),
     (R.q_label_centroids, R.Q_LABEL_CENTROIDS_SQL),
     (R.q_stratified_docs, R.Q_STRATIFIED_DOCS_SQL),
+    (R.q_winnow_fingerprints, R.Q_WINNOW_FINGERPRINTS_SQL),
 ], ids=["region_revenue", "fuzzy_part_pairs", "brand_set_ops",
         "props_extract", "orders_below_max", "type_brand_list",
         "priority_share", "orders_events_daily", "price_corr",
         "top_customer_orders", "doc_sample_stats", "signup_conversion",
-        "customer_upsert", "label_centroids", "stratified_docs"])
+        "customer_upsert", "label_centroids", "stratified_docs",
+        "winnow_fingerprints"])
 def test_query_matches_oracle(sf_dir, fn, sql):
     mine = fn(sf_dir)
     mine = mine.to_pandas() if hasattr(mine, "to_pandas") else mine
@@ -122,3 +124,24 @@ def test_lev_matches_duckdb_vocab():
     for (x, y), m in zip(pairs, mine):
         assert m == con.execute(
             "select levenshtein(?, ?)", [x, y]).fetchone()[0]
+
+
+def test_winnow_guarantee_and_edges():
+    """Winnowing's detection guarantee: two documents sharing any run of
+    shingle + window - 1 words share at least one fingerprint.  Short and
+    empty docs degrade cleanly."""
+    from entity_resolution_ray.stages.textstats import WinnowFingerprints
+
+    w = WinnowFingerprints(shingle=3, window=4)
+    shared = "quick brown foxes jump over lazy"  # 6 = 3 + 4 - 1 words
+    a = w._doc_fingerprints(f"alpha bravo {shared} charlie delta")
+    b = w._doc_fingerprints(f"echo {shared} foxtrot golf hotel india")
+    assert len(np.intersect1d(a, b)) >= 1
+
+    assert len(w._doc_fingerprints("")) == 0
+    assert len(w._doc_fingerprints("one two")) == 0  # below shingle size
+    # 3 tokens -> 1 gram -> single short-window fingerprint
+    assert len(w._doc_fingerprints("one two three")) == 1
+    # dissimilar docs don't collide
+    c = w._doc_fingerprints("completely different words entirely here now")
+    assert len(np.intersect1d(a, c)) == 0
