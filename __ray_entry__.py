@@ -288,6 +288,68 @@ def _er_blocks_phonetic(sf_dir: str):
     )
 
 
+def _er_blocks_phonetic_canon(sf_dir: str):
+    """Phonetic blocking under a SQL oracle: the derived keys (tagger +
+    phonetic functions' output, themselves oracled by ``phonetic_codes``)
+    are written to a parquet the oracle reads back; the blocker's CC over
+    shared-key edges is recomputed as a recursive-CTE transitive closure;
+    and the engine's hash block ids are relabeled to the canonical min
+    doc_id per block so the compare is hash-exact."""
+    import shutil
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.blockers import feature_based_blocker
+    from entity_resolution_ray.stages.joins import hash_join
+
+    featured = _er_featured(sf_dir)
+    # fixed path (no sf suffix): the callable runs right before its oracle
+    # and overwrites, so one path serves every scale the driver probes
+    oracle_dir = "/tmp/er_blocks_oracle/keys_current"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    featured.select_columns(
+        ["doc_id", "phonetic_key", "metaphone_key"]
+    ).write_parquet(oracle_dir)
+
+    blocks = feature_based_blocker(
+        featured, ["phonetic_key", "metaphone_key"]
+    ).materialize()  # consumed twice: rep census + label join
+    reps = grouped_aggregate(
+        blocks, "block_id", {"block_rep": ("doc_id", "min")}, num_buckets=8
+    )
+    out = hash_join(blocks, reps, on="block_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_rep"])
+
+
+ER_BLOCKS_PHONETIC_SQL = """
+with recursive docs as (
+  select doc_id, phonetic_key, metaphone_key
+  from read_parquet('/tmp/er_blocks_oracle/keys_current/*.parquet')
+),
+feat as (
+  select doc_id, 'p=' || phonetic_key as key from docs
+  where phonetic_key is not null and phonetic_key <> ''
+  union all
+  select doc_id, 'm=' || metaphone_key from docs
+  where metaphone_key is not null and metaphone_key <> ''
+),
+pairs as (
+  select distinct a.doc_id as src, b.doc_id as dst
+  from feat a join feat b on a.key = b.key and a.doc_id < b.doc_id
+),
+bi as (
+  select src as a, dst as b from pairs
+  union
+  select dst, src from pairs
+),
+reach as (
+  select doc_id as node, doc_id as r from docs
+  union
+  select bi.a as node, reach.r from bi join reach on reach.node = bi.b
+)
+select node as doc_id, min(r) as block_rep from reach group by node
+"""
+
+
 _FEATURED_CACHE: dict[str, object] = {}
 
 
@@ -824,6 +886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _doc_keywords,
         "sanctions_struct_fields": _sanctions_struct_fields,
         "winnow_fingerprints": R.q_winnow_fingerprints,
+        "winnow_neardup": R.q_winnow_neardup,
+        "phonetic_codes": R.q_phonetic_codes,
+        "er_blocks_phonetic_canon": _er_blocks_phonetic_canon,
         # relational / analytics operators (SQL-oracled)
         "q1_pricing_summary": R.q1_pricing_summary,
         "segment_revenue": R.q_segment_revenue,
@@ -965,4 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": SIMHASH_PAIRS_SQL,
         "sanctions_struct_fields": _sanctions_struct_fields_sql(),
         "winnow_fingerprints": R.Q_WINNOW_FINGERPRINTS_SQL,
+        "winnow_neardup": R.Q_WINNOW_NEARDUP_SQL,
+        "phonetic_codes": R.Q_PHONETIC_CODES_SQL,
+        "er_blocks_phonetic_canon": ER_BLOCKS_PHONETIC_SQL,
     }

@@ -2080,3 +2080,159 @@ with toks as (
 select distinct doc_id, unnest(fp) as fingerprint
 from fps
 """
+
+
+# --- 52. winnowing near-dup pairs (MOSS) -------------------------------------
+WINNOW_NEARDUP_TH = 0.2
+WINNOW_MAX_DF = 64
+
+
+def q_winnow_neardup(sf_dir: str):
+    """Near-dup pairs by jaccard over winnowing-fingerprint sets with
+    stop-gram pruning (document frequency > max_df dropped before the
+    candidate join).  See ``stages/dedup.py:winnow_neardup_pairs``."""
+    from entity_resolution_ray.stages.dedup import winnow_neardup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_neardup_pairs(
+        ds, threshold=WINNOW_NEARDUP_TH, max_df=WINNOW_MAX_DF
+    )
+    return out.select_columns(["src", "dst", "similarity"])
+
+
+Q_WINNOW_NEARDUP_SQL = f"""
+with fp as ({Q_WINNOW_FINGERPRINTS_SQL}),
+keep as (
+  select fingerprint from fp group by fingerprint
+  having count(*) <= {WINNOW_MAX_DF}
+),
+cold as (select fp.* from fp semi join keep using (fingerprint)),
+n as (select doc_id, count(*) as n from cold group by doc_id),
+inter as (
+  select a.doc_id as src, b.doc_id as dst, count(*) as sh
+  from cold a join cold b
+    on a.fingerprint = b.fingerprint and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select src, dst,
+       round(sh / (na.n + nb.n - sh), 6) as similarity
+from inter
+join n na on na.doc_id = src
+join n nb on nb.doc_id = dst
+where sh / (na.n + nb.n - sh) >= {WINNOW_NEARDUP_TH}
+"""
+
+
+# --- 53. phonetic codes under a SQL oracle ----------------------------------
+def q_phonetic_codes(sf_dir: str):
+    """(token, soundex, metaphone) over the distinct word tokens of the
+    documents corpus — puts both phonetic blocking-key functions
+    (``functions/phonetic.py``, reference
+    ``am_combiner/features/common.py:295-298``) under a bit-exact SQL
+    oracle: Soundex as translate + adjacent-collapse, simplified Metaphone
+    as a recursive-CTE character automaton.
+
+    Vocabulary extraction is a streaming map_batches (per-batch set), the
+    distinct pass is the bucketed grouped_aggregate, and codes are computed
+    once per DISTINCT token (the same unique-token discipline the feature
+    tagger uses) — never per occurrence."""
+    from entity_resolution_ray.functions.phonetic import metaphone, soundex
+    from entity_resolution_ray.functions.text import tokenize_words
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def vocab(batch: pa.Table) -> pa.Table:
+        toks: set[str] = set()
+        for text in batch["text"].to_pylist():
+            toks.update(tokenize_words(text or ""))
+        return pa.table({"tok": pa.array(sorted(toks), pa.string())})
+
+    distinct = grouped_aggregate(
+        ds.map_batches(vocab, batch_format="pyarrow"),
+        "tok", {"n": ("tok", "size")},
+    )
+
+    def codes(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = [t for t in batch["tok"].to_list()
+                if any("a" <= c <= "z" for c in t)]
+        return pd.DataFrame({
+            "tok": toks,
+            "sdx": [soundex(t) for t in toks],
+            "mp": [metaphone(t) for t in toks],
+        })
+
+    return distinct.map_batches(codes, batch_format="pandas")
+
+
+Q_PHONETIC_CODES_SQL = f"""
+with recursive toks as (
+  select distinct unnest({oracle_token_expr()}) as tok from documents
+),
+lett as (
+  select tok, regexp_replace(tok, '[^a-z]', '', 'g') as t from toks
+  where regexp_matches(tok, '[a-z]')
+),
+prep as (
+  select tok, t,
+         substr(t, 1, 1) || regexp_replace(substr(t, 2), '[hw]', '', 'g') as body
+  from lett
+),
+dig as (
+  select tok, t,
+         translate(body, 'abcdefghijklmnopqrstuvwxyz',
+                   '01230120022455012623010202') as d
+  from prep
+),
+coll as (
+  select tok, t,
+         array_to_string(
+           list_filter(string_split(d, ''),
+                       (x, i) -> i = 1 or x <> d[i-1]), '') as c
+  from dig
+),
+sdx as (
+  select tok, substr(upper(t[1]) || replace(c[2:], '0', '') || '000', 1, 4) as sdx
+  from coll
+),
+mp as (
+  select tok, t, 1 as i, '' as out from lett
+  union all
+  select tok, t,
+    i + case
+      when t[i] = t[i+1] and t[i] <> 'c' then 1
+      when t[i] in ('a','e','i','o','u') then 1
+      when t[i] = 'p' and t[i+1] = 'h' then 2
+      when t[i] = 's' and t[i+1] = 'h' then 2
+      when t[i] = 't' and t[i+1] = 'h' then 2
+      when t[i] = 'c' and t[i+1] = 'k' then 2
+      when t[i] = 'g' and t[i+1] = 'h' then 2
+      else 1
+    end as i,
+    out || case
+      when t[i] = t[i+1] and t[i] <> 'c' then ''
+      when t[i] in ('a','e','i','o','u')
+        then (case when i = 1 then upper(t[i]) else '' end)
+      when t[i] = 'p' and t[i+1] = 'h' then 'F'
+      when t[i] = 's' and t[i+1] = 'h' then 'X'
+      when t[i] = 't' and t[i+1] = 'h' then '0'
+      when t[i] = 'c' and t[i+1] = 'k' then 'K'
+      -- trailing c: python's  nxt in "eiy"  is TRUE for nxt == "" (empty
+      -- string is a substring), so end-of-word c softens to S
+      when t[i] = 'c'
+        then (case when t[i+1] in ('e','i','y') or t[i+1] = ''
+                   then 'S' else 'K' end)
+      when t[i] = 'q' then 'K'
+      when t[i] = 'x' then 'KS'
+      when t[i] in ('w','y','h') then ''
+      when t[i] = 'g' and t[i+1] = 'h' then 'K'
+      when t[i] = 'z' then 'S'
+      when t[i] = 'v' then 'F'
+      when t[i] = 'd' and t[i+1:i+2] in ('ge','gi','gy') then 'J'
+      else upper(t[i])
+    end as out
+  from mp where i <= length(t)
+),
+mpf as (select tok, substr(out, 1, 6) as mp from mp where i = length(t) + 1)
+select tok, sdx.sdx, mpf.mp
+from sdx join mpf using (tok)
+"""

@@ -508,3 +508,71 @@ def embedding_neardup_lsh(
     return grouped_aggregate(
         cand, ["src", "dst"], {"cosine": ("cosine", "min")}, num_buckets=16
     )
+
+
+def winnow_neardup_pairs(ds, threshold: float = 0.2, shingle: int = 3,
+                         window: int = 4, max_df: int = 64,
+                         concurrency=(1, 8)):
+    """MOSS-style near-dup pairs: jaccard over winnowing-fingerprint sets.
+
+    Reference analogue: the repo's shingle/minhash near-dup tier
+    (``am_combiner``'s similarity tooling) proposes candidates from shared
+    text features; winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003) keeps
+    ~1/window of the gram hashes while guaranteeing any run of
+    ``shingle + window - 1`` shared words still collides, so the candidate
+    join is dense where it matters and tiny elsewhere.
+
+    Scale shape: fingerprints seen in more than ``max_df`` documents are
+    dropped BEFORE pair generation (the MOSS index's stop-gram guard) —
+    every surviving fingerprint bucket emits ≤ C(max_df, 2) pairs, so the
+    exchange is bounded regardless of how common a phrase is.  Similarity
+    is the jaccard of the PRUNED fingerprint sets on both sides (set sizes
+    are recomputed after the prune so the measure stays a true jaccard).
+    Everything is bit-reproducible in SQL (md5-lower-64 gram hash).
+    """
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.blocking import grouped_pairs
+    from entity_resolution_ray.stages.joins import hash_join, key_filter_join
+    from entity_resolution_ray.stages.textstats import winnow_fingerprints
+
+    fp = winnow_fingerprints(
+        ds, shingle=shingle, window=window, concurrency=concurrency
+    ).materialize()  # consumed by the df census and the anti-join
+
+    # stop-gram census: fingerprint document frequency (fingerprints are
+    # distinct per doc, so size == document frequency)
+    hot = grouped_aggregate(
+        fp, "fingerprint", {"df": ("doc_id", "size")}
+    ).filter(expr=f"df > {max_df}")
+    cold = key_filter_join(fp, hot, on="fingerprint", how="anti").materialize()
+
+    n_doc = grouped_aggregate(cold, "doc_id", {"n_fp": ("fingerprint", "size")})
+
+    # cap == max_df: post-prune groups have ≤ max_df members, so the shard
+    # path never triggers and every group emits its exact full triu
+    pairs = grouped_pairs(cold, "fingerprint", id_col="doc_id", cap=max_df)
+    shared = grouped_aggregate(
+        pairs, ["src", "dst"], {"shared": ("src", "size")}
+    )
+
+    n_src = n_doc.map_batches(
+        lambda t: pa.table({"src": t["doc_id"], "n_src": t["n_fp"]}),
+        batch_format="pyarrow",
+    )
+    n_dst = n_doc.map_batches(
+        lambda t: pa.table({"dst": t["doc_id"], "n_dst": t["n_fp"]}),
+        batch_format="pyarrow",
+    )
+    j = hash_join(hash_join(shared, n_src, on="src"), n_dst, on="dst")
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["shared"].to_numpy(np.float64)
+        union = (batch["n_src"].to_numpy(np.int64)
+                 + batch["n_dst"].to_numpy(np.int64)
+                 - batch["shared"].to_numpy(np.int64))
+        sim = sh / union
+        out = batch[["src", "dst"]].copy()
+        out["similarity"] = np.round(sim, 6)
+        return out[sim >= threshold]
+
+    return j.map_batches(score, batch_format="pandas")

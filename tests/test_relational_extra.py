@@ -57,12 +57,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     (R.q_label_centroids, R.Q_LABEL_CENTROIDS_SQL),
     (R.q_stratified_docs, R.Q_STRATIFIED_DOCS_SQL),
     (R.q_winnow_fingerprints, R.Q_WINNOW_FINGERPRINTS_SQL),
+    (R.q_winnow_neardup, R.Q_WINNOW_NEARDUP_SQL),
+    (R.q_phonetic_codes, R.Q_PHONETIC_CODES_SQL),
 ], ids=["region_revenue", "fuzzy_part_pairs", "brand_set_ops",
         "props_extract", "orders_below_max", "type_brand_list",
         "priority_share", "orders_events_daily", "price_corr",
         "top_customer_orders", "doc_sample_stats", "signup_conversion",
         "customer_upsert", "label_centroids", "stratified_docs",
-        "winnow_fingerprints"])
+        "winnow_fingerprints", "winnow_neardup", "phonetic_codes"])
 def test_query_matches_oracle(sf_dir, fn, sql):
     mine = fn(sf_dir)
     mine = mine.to_pandas() if hasattr(mine, "to_pandas") else mine

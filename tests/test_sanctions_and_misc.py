@@ -390,3 +390,21 @@ def test_sanctions_struct_fields_matches_sql_oracle(sf_dir):
     a, b = canon(mine), canon(oracle)
     assert len(a) == len(b) and list(a.columns) == list(b.columns)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_er_blocks_phonetic_canon_matches_closure_oracle(sf_dir):
+    """Phonetic blocking (CC over shared phonetic/metaphone keys) relabeled
+    to canonical min-doc_id must equal a recursive-CTE transitive closure
+    over the written key table — the blocker's whole shuffle/CC path under
+    a hash-exact oracle at test scale."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    mine = entry._er_blocks_phonetic_canon(sf_dir).to_pandas()
+    oracle = duckdb.connect().execute(entry.ER_BLOCKS_PHONETIC_SQL).df()
+    a = mine.sort_values(["doc_id"]).reset_index(drop=True)
+    b = oracle.sort_values(["doc_id"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(
+        a[["doc_id", "block_rep"]], b[["doc_id", "block_rep"]])
