@@ -889,6 +889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_neardup": R.q_winnow_neardup,
         "phonetic_codes": R.q_phonetic_codes,
         "er_blocks_phonetic_canon": _er_blocks_phonetic_canon,
+        "doc_repetition": R.q_doc_repetition,
+        "decontaminate": R.q_decontaminate,
         # relational / analytics operators (SQL-oracled)
         "q1_pricing_summary": R.q1_pricing_summary,
         "segment_revenue": R.q_segment_revenue,
@@ -1033,4 +1035,6 @@ def oracle_sql() -> dict[str, str]:
         "winnow_neardup": R.Q_WINNOW_NEARDUP_SQL,
         "phonetic_codes": R.Q_PHONETIC_CODES_SQL,
         "er_blocks_phonetic_canon": ER_BLOCKS_PHONETIC_SQL,
+        "doc_repetition": R.Q_DOC_REPETITION_SQL,
+        "decontaminate": R.Q_DECONTAMINATE_SQL,
     }

@@ -2236,3 +2236,88 @@ mpf as (select tok, substr(out, 1, 6) as mp from mp where i = length(t) + 1)
 select tok, sdx.sdx, mpf.mp
 from sdx join mpf using (tok)
 """
+
+
+# --- 54. Gopher-style repetition quality signals ------------------------------
+def q_doc_repetition(sf_dir: str):
+    """Per-doc duplicate-word fraction + top 2-gram / 3-gram character
+    fractions (Rae et al. 2021 quality filters).  Streaming map_batches,
+    deterministic top-gram tie-break (count desc, gram asc) so the SQL
+    oracle reproduces it bit-for-bit."""
+    from entity_resolution_ray.stages.textstats import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
+Q_DOC_REPETITION_SQL = f"""
+with toks as (select doc_id, {oracle_token_expr()} as t from documents),
+base as (
+  select doc_id, len(t) as n,
+         length(array_to_string(t, '')) as total_chars,
+         len(list_distinct(t)) as n_distinct, t
+  from toks
+),
+g2 as (
+  select doc_id, t[i] || ' ' || t[i+1] as g
+  from base, unnest(generate_series(1, greatest(n - 1, 0))) as s(i)
+),
+t2 as (
+  select doc_id, g, count(*) as c from g2 group by 1, 2
+  qualify row_number() over (partition by doc_id
+                             order by count(*) desc, g asc) = 1
+),
+g3 as (
+  select doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] as g
+  from base, unnest(generate_series(1, greatest(n - 2, 0))) as s(i)
+),
+t3 as (
+  select doc_id, g, count(*) as c from g3 group by 1, 2
+  qualify row_number() over (partition by doc_id
+                             order by count(*) desc, g asc) = 1
+)
+select base.doc_id,
+       round(case when n > 0 then 1.0 - n_distinct / n::double
+                  else 0.0 end, 6)                                  as dup_word_frac,
+       round(coalesce(t2.c * (length(t2.g) - 1)
+                      / nullif(total_chars, 0)::double, 0.0), 6)    as top2gram_frac,
+       round(coalesce(t3.c * (length(t3.g) - 2)
+                      / nullif(total_chars, 0)::double, 0.0), 6)    as top3gram_frac
+from base
+left join t2 using (doc_id)
+left join t3 using (doc_id)
+"""
+
+
+# --- 55. benchmark decontamination --------------------------------------------
+DECON_BENCH_PCT = 5
+DECON_NGRAM = 8
+
+
+def q_decontaminate(sf_dir: str):
+    """Training docs contaminated by word-8-gram overlap with the
+    hash-deterministic 5% benchmark split.  See
+    ``stages/dedup.py:decontaminate``."""
+    from entity_resolution_ray.stages.dedup import decontaminate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return decontaminate(ds, bench_pct=DECON_BENCH_PCT, ngram=DECON_NGRAM)
+
+
+Q_DECONTAMINATE_SQL = f"""
+with toks as (
+  select doc_id, {oracle_token_expr()} as t,
+         (md5_number_lower(doc_id::varchar) % 100) < {DECON_BENCH_PCT} as in_bench
+  from documents
+),
+grams as (
+  select distinct doc_id, in_bench,
+         md5_number_lower(array_to_string(t[i:i+{DECON_NGRAM - 1}], ' ')) as gram
+  from toks, unnest(generate_series(1, greatest(len(t) - {DECON_NGRAM - 1}, 0))) as s(i)
+),
+bench as (select distinct gram from grams where in_bench)
+select doc_id, count(*) as n_shared_grams
+from grams semi join bench using (gram)
+where not in_bench
+group by doc_id
+"""

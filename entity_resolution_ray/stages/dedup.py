@@ -576,3 +576,62 @@ def winnow_neardup_pairs(ds, threshold: float = 0.2, shingle: int = 3,
         return out[sim >= threshold]
 
     return j.map_batches(score, batch_format="pandas")
+
+
+def decontaminate(ds, bench_pct: int = 5, ngram: int = 8):
+    """Benchmark decontamination: flag training documents sharing any word
+    ``ngram`` with a held-out benchmark set (the standard LLM training-data
+    hygiene pass — e.g. GPT-3 appendix C / PaLM §6.5 use 8-13 gram overlap).
+
+    The benchmark membership is hash-deterministic (md5(doc_id) % 100 <
+    bench_pct — same convention as the sampling stage), so the whole
+    operator is reproducible and SQL-checkable.  Grams ride the exchange as
+    md5-lower-64 hashes (8 bytes), never strings; the training-side gram
+    table is semi-joined against the (small) benchmark gram set with the
+    key-only filter join, so the full training gram volume crosses the
+    shuffle exactly once.  Output: one row per CONTAMINATED training doc
+    with the count of distinct shared grams."""
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.joins import key_filter_join
+    from entity_resolution_ray.utils.hashing import md5_hash64_array
+
+    def grams(batch: pa.Table, side: str) -> pa.Table:
+        from entity_resolution_ray.functions.text import tokenize_words
+
+        ids = [str(v) for v in batch["doc_id"].to_pylist()]
+        in_bench = (md5_hash64_array(ids) % np.uint64(100)) < bench_pct
+        out_idx: list[np.ndarray] = []
+        out_g: list[np.ndarray] = []
+        for i, text in enumerate(batch["text"].to_pylist()):
+            if (side == "bench") != bool(in_bench[i]):
+                continue
+            toks = tokenize_words(text or "")
+            m = len(toks) - ngram + 1
+            if m <= 0:
+                continue
+            h = np.unique(md5_hash64_array(
+                [" ".join(toks[j:j + ngram]) for j in range(m)]))
+            out_idx.append(np.full(len(h), i, np.int64))
+            out_g.append(h)
+        if not out_idx:
+            return pa.table({
+                "doc_id": pa.array([], batch["doc_id"].type),
+                "gram": pa.array([], pa.uint64()),
+            })
+        idx = pa.array(np.concatenate(out_idx))
+        return pa.table({
+            "doc_id": batch["doc_id"].take(idx),
+            "gram": pa.array(np.concatenate(out_g), pa.uint64()),
+        })
+
+    cols = ds.select_columns(["doc_id", "text"])
+    train_grams = cols.map_batches(
+        lambda b: grams(b, "train"), batch_format="pyarrow")
+    bench_grams = cols.map_batches(
+        lambda b: grams(b, "bench"), batch_format="pyarrow",
+    ).select_columns(["gram"])
+
+    hits = key_filter_join(train_grams, bench_grams, on="gram", how="semi")
+    # grams are distinct per doc, so size == distinct shared grams
+    return grouped_aggregate(
+        hits, "doc_id", {"n_shared_grams": ("gram", "size")})

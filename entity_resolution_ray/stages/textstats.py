@@ -153,3 +153,58 @@ def winnow_fingerprints(ds, shingle: int = 3, window: int = 4,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class RepetitionStats:
+    """Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    per-document duplicate-word fraction and the character fraction covered
+    by the most frequent word 2-gram / 3-gram.  High values flag
+    boilerplate/spam documents a training-data pipeline should drop.
+
+    Deterministic top-gram tie-break: among equal-count grams the
+    lexicographically smallest wins — the property that lets a SQL oracle
+    reproduce the metric bit-for-bit."""
+
+    @staticmethod
+    def _round6(x: float) -> float:
+        # DuckDB round() is half-away-from-zero; python round() is banker's
+        # (0.0390625 -> 0.039062 vs SQL 0.039063), so match SQL explicitly
+        return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        n_rows = len(batch)
+        dup_frac = np.zeros(n_rows, np.float64)
+        top2 = np.zeros(n_rows, np.float64)
+        top3 = np.zeros(n_rows, np.float64)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = tokenize_words(text or "")
+            n = len(toks)
+            if n == 0:
+                continue
+            total_chars = sum(len(t) for t in toks)
+            dup_frac[i] = self._round6(1.0 - len(set(toks)) / n)
+            for k, out in ((2, top2), (3, top3)):
+                if n < k or total_chars == 0:
+                    continue
+                grams = [" ".join(toks[j:j + k]) for j in range(n - k + 1)]
+                cnt = Counter(grams)
+                best = min(g for g, c in cnt.items()
+                           if c == max(cnt.values()))
+                out[i] = self._round6(
+                    cnt[best] * (len(best) - (k - 1)) / total_chars)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "dup_word_frac": pa.array(dup_frac, pa.float64()),
+            "top2gram_frac": pa.array(top2, pa.float64()),
+            "top3gram_frac": pa.array(top3, pa.float64()),
+        })
+
+
+def repetition_stats(ds, concurrency=(1, 8), batch_size: int = 2048):
+    """Streaming per-doc repetition-quality columns — no shuffle."""
+    return ds.map_batches(
+        RepetitionStats, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
