@@ -891,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_blocks_phonetic_canon": _er_blocks_phonetic_canon,
         "doc_repetition": R.q_doc_repetition,
         "decontaminate": R.q_decontaminate,
+        "jw_part_pairs": R.q_jw_part_pairs,
         # relational / analytics operators (SQL-oracled)
         "q1_pricing_summary": R.q1_pricing_summary,
         "segment_revenue": R.q_segment_revenue,
@@ -1037,4 +1038,5 @@ def oracle_sql() -> dict[str, str]:
         "er_blocks_phonetic_canon": ER_BLOCKS_PHONETIC_SQL,
         "doc_repetition": R.Q_DOC_REPETITION_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
+        "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
     }

@@ -2321,3 +2321,64 @@ from grams semi join bench using (gram)
 where not in_bench
 group by doc_id
 """
+
+
+# --- 56. Jaro-Winkler fuzzy name pairs (DuckDB-native oracle) -----------------
+JW_PAIR_TH = 0.94
+
+
+def q_jw_part_pairs(sf_dir: str, threshold: float = JW_PAIR_TH):
+    """Blocked Jaro-Winkler self-join over DISTINCT part names (block key =
+    (p_type, head noun)); emits the matching name pairs with their JW score.
+    The JW kernel (``functions/text.py``) follows jellyfish semantics —
+    Winkler prefix bonus only above the 0.7 boost threshold — which DuckDB's
+    ``jaro_winkler_similarity`` reproduces bit-for-bit (verified on 5k
+    random pairs), so the oracle checks the kernel itself, not just the
+    join shape."""
+    from entity_resolution_ray.functions.text import jaro_winkler_batch
+
+    part = _read(sf_dir, "part", columns=["p_type", "p_name"])
+    names = grouped_aggregate(
+        part, ["p_type", "p_name"], {"cnt": ("p_name", "size")}, num_buckets=8
+    )
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        noun = pc.list_element(pc.split_pattern(batch["p_name"], " "), 1)
+        out = batch.append_column("noun", noun)
+        return out.filter(pc.is_valid(noun))
+
+    names = names.map_batches(add_block, batch_format="pyarrow")
+
+    def pairs_in_block(group: pd.DataFrame) -> pd.DataFrame:
+        nm = np.sort(group["p_name"].to_numpy())
+        k = len(nm)
+        if k < 2:
+            return pd.DataFrame({"p_type": [], "name_a": [], "name_b": [],
+                                 "jw": []})
+        iu, ju = np.triu_indices(k, 1)
+        jw = jaro_winkler_batch(list(nm[iu]), list(nm[ju]))
+        keep = jw >= threshold
+        return pd.DataFrame({
+            "p_type": np.repeat(group["p_type"].iloc[0], int(keep.sum())),
+            "name_a": nm[iu[keep]],
+            "name_b": nm[ju[keep]],
+            "jw": np.floor(jw[keep] * 1e6 + 0.5) / 1e6,  # SQL round()
+        })
+
+    return names.groupby(["p_type", "noun"]).map_groups(
+        pairs_in_block, batch_format="pandas"
+    )
+
+
+Q_JW_PART_PAIRS_SQL = f"""
+with names as (
+  select distinct p_type, p_name, string_split(p_name, ' ')[2] as noun
+  from part
+)
+select a.p_type, a.p_name as name_a, b.p_name as name_b,
+       round(jaro_winkler_similarity(a.p_name, b.p_name), 6) as jw
+from names a
+join names b
+  on a.p_type = b.p_type and a.noun = b.noun and a.p_name < b.p_name
+where jaro_winkler_similarity(a.p_name, b.p_name) >= {JW_PAIR_TH}
+"""
