@@ -320,6 +320,91 @@ def _er_blocks_phonetic_canon(sf_dir: str):
     return out.select_columns(["doc_id", "block_rep"])
 
 
+CUTOFF_CANON_CUT = 100
+
+
+def _er_blocks_cutoff_canon(sf_dir: str):
+    """Gradual cutoff blocking under a SQL oracle: pass 1 = CC over shared
+    phonetic_key, components ≥ cluster_cutoff freeze; pass 2 = CC over
+    shared phonetic OR metaphone key among the remainder, everything
+    freezes.  Canonical min-doc_id labels make the compare hash-exact vs
+    two chained recursive-CTE closures.  cluster_cutoff=100 so the freeze
+    branch actually fires at driver scale (the sf0.01 corpus has one
+    600-doc phonetic component)."""
+    import shutil
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.blockers import cutoff_blocker
+    from entity_resolution_ray.stages.joins import hash_join
+
+    featured = _er_featured(sf_dir)
+    oracle_dir = "/tmp/er_blocks_oracle/keys_cutoff"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    featured.select_columns(
+        ["doc_id", "phonetic_key", "metaphone_key"]
+    ).write_parquet(oracle_dir)
+
+    blocks = cutoff_blocker(
+        featured, ["phonetic_key", "metaphone_key"],
+        cluster_cutoff=CUTOFF_CANON_CUT,
+    ).materialize()
+    reps = grouped_aggregate(
+        blocks, "block_id", {"block_rep": ("doc_id", "min")}, num_buckets=8
+    )
+    out = hash_join(blocks, reps, on="block_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_rep", "derived_by"])
+
+
+ER_BLOCKS_CUTOFF_SQL = f"""
+with recursive docs as (
+  select doc_id, phonetic_key, metaphone_key
+  from read_parquet('/tmp/er_blocks_oracle/keys_cutoff/*.parquet')
+),
+p1 as (
+  select distinct a.doc_id as src, b.doc_id as dst
+  from docs a join docs b
+    on a.phonetic_key = b.phonetic_key and a.doc_id < b.doc_id
+  where a.phonetic_key is not null and a.phonetic_key <> ''
+),
+bi1 as (select src as a, dst as b from p1 union select dst, src from p1),
+reach1 as (
+  select doc_id as node, doc_id as r from docs
+  union
+  select bi1.a, reach1.r from bi1 join reach1 on reach1.node = bi1.b
+),
+comp1 as (select node as doc_id, min(r) as rep from reach1 group by node),
+sizes1 as (select rep, count(*) as n from comp1 group by rep),
+frozen1 as (
+  select c.doc_id, c.rep as block_rep
+  from comp1 c join sizes1 s using (rep)
+  where s.n >= {CUTOFF_CANON_CUT}
+),
+rem as (select doc_id from docs anti join frozen1 using (doc_id)),
+rdocs as (select d.* from docs d semi join rem using (doc_id)),
+p2 as (
+  select distinct a.doc_id as src, b.doc_id as dst
+  from rdocs a join rdocs b
+    on a.phonetic_key = b.phonetic_key and a.doc_id < b.doc_id
+  where a.phonetic_key is not null and a.phonetic_key <> ''
+  union
+  select distinct a.doc_id, b.doc_id
+  from rdocs a join rdocs b
+    on a.metaphone_key = b.metaphone_key and a.doc_id < b.doc_id
+  where a.metaphone_key is not null and a.metaphone_key <> ''
+),
+bi2 as (select src as a, dst as b from p2 union select dst, src from p2),
+reach2 as (
+  select doc_id as node, doc_id as r from rdocs
+  union
+  select bi2.a, reach2.r from bi2 join reach2 on reach2.node = bi2.b
+),
+comp2 as (select node as doc_id, min(r) as rep from reach2 group by node)
+select doc_id, block_rep, 'phonetic_key@th1' as derived_by from frozen1
+union all
+select doc_id, rep as block_rep, 'metaphone_key@th1' from comp2
+"""
+
+
 ER_BLOCKS_PHONETIC_SQL = """
 with recursive docs as (
   select doc_id, phonetic_key, metaphone_key
@@ -892,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": R.q_doc_repetition,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
+        "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
         # relational / analytics operators (SQL-oracled)
         "q1_pricing_summary": R.q1_pricing_summary,
         "segment_revenue": R.q_segment_revenue,
@@ -1039,4 +1125,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": R.Q_DOC_REPETITION_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
+        "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,
     }

@@ -102,3 +102,19 @@ def test_artifact_tfidf_stage(ray_session, store):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want))
     for got, want in zip(out["tfidf_idx"], expect["tfidf_idx"]):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_ensure_artifact_refetches_on_source_update(store):
+    """An artifact updated at the source (new mtime/size) must be re-fetched
+    under a new cache name, never served stale."""
+    import time
+
+    uri, cache, _ = store
+    p1 = ensure_artifact(uri, cache)
+    time.sleep(0.02)
+    with open(uri, "ab") as f:
+        f.write(b"v2")
+    p2 = ensure_artifact(uri, cache)
+    assert p1 != p2
+    assert open(p2, "rb").read().endswith(b"v2")
+    assert not open(p1, "rb").read().endswith(b"v2")

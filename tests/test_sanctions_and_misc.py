@@ -408,3 +408,42 @@ def test_er_blocks_phonetic_canon_matches_closure_oracle(sf_dir):
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(
         a[["doc_id", "block_rep"]], b[["doc_id", "block_rep"]])
+
+
+def test_er_pair_weights_matches_sql_oracle(sf_dir):
+    """The flagship pair generator's adjacency weights + DOB negative
+    evidence vs the SQL recomputation (driver check in miniature; the
+    oracle SQL pins the sf0.01 path, so rewrite it to this fixture's)."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    mine = entry._er_pair_weights(sf_dir).to_pandas()
+    base = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    sql = entry.ER_PAIR_WEIGHTS_SQL.replace("featured_sf0.01", f"featured_{base}")
+    oracle = duckdb.connect().execute(sql).df()
+    key = ["block_key", "src", "dst"]
+    a = mine.sort_values(key).reset_index(drop=True)
+    b = oracle.sort_values(key).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(
+        a[key + ["weight", "neg_dob"]].astype({"weight": float}),
+        b[key + ["weight", "neg_dob"]].astype({"weight": float}),
+    )
+
+
+def test_er_blocks_cutoff_canon_matches_closure_oracle(sf_dir):
+    """Gradual cutoff blocking (pass-1 freeze at cluster_cutoff, pass-2
+    sweep) vs two chained recursive-CTE closures, canonical labels."""
+    import duckdb
+
+    import __ray_entry__ as entry
+
+    mine = entry._er_blocks_cutoff_canon(sf_dir).to_pandas()
+    oracle = duckdb.connect().execute(entry.ER_BLOCKS_CUTOFF_SQL).df()
+    a = mine.sort_values(["doc_id"]).reset_index(drop=True)
+    b = oracle.sort_values(["doc_id"]).reset_index(drop=True)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(
+        a[["doc_id", "block_rep", "derived_by"]],
+        b[["doc_id", "block_rep", "derived_by"]])
