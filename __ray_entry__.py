@@ -435,6 +435,105 @@ select node as doc_id, min(r) as block_rep from reach group by node
 """
 
 
+def _er_combiner_cc_canon(sf_dir: str):
+    """ConnectedComponentsCombiner under a SQL oracle (reference
+    `am_combiner/combiners/graph_based.py:12-69`): per-block capped feature
+    postings → shared-posting pairs with weight ≥ th(=1.0) → per-block CC.
+    The featured table (tagger output taken as given data) is written to a
+    parquet the oracle reads back; the combiner's min-doc-hash cluster ids
+    are relabeled to the canonical min doc_id per cluster so the compare is
+    hash-exact vs a capped-postings + recursive-CTE closure."""
+    import shutil
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.combiners import run_combiner
+    from entity_resolution_ray.stages.joins import hash_join
+
+    featured = _er_featured(sf_dir)
+    oracle_dir = "/tmp/er_pair_oracle/featured_cc"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    featured.select_columns(
+        ["doc_id", "block_key", "person_clean", "org", "gpe", "loc"]
+    ).write_parquet(oracle_dir)
+
+    clusters = run_combiner(featured, "connected_components").materialize()
+    reps = grouped_aggregate(
+        clusters, "cluster_id", {"cluster_rep": ("doc_id", "min")}, num_buckets=8
+    )
+    out = hash_join(clusters, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_key", "cluster_rep"])
+
+
+ER_COMBINER_CC_SQL = """
+with recursive docs as (
+  select doc_id, block_key, person_clean, org, gpe, loc
+  from read_parquet('/tmp/er_pair_oracle/featured_cc/*.parquet')
+),
+feat as (
+  select doc_id, block_key, 'person_clean' as feature, unnest(person_clean) as val from docs
+  union all select doc_id, block_key, 'org', unnest(org) from docs
+  union all select doc_id, block_key, 'gpe', unnest(gpe) from docs
+  union all select doc_id, block_key, 'loc', unnest(loc) from docs
+),
+capped as (
+  select * from (
+    select doc_id, block_key, feature, val,
+           row_number() over (partition by block_key, feature, val
+                              order by doc_id) as rn
+    from feat)
+  where rn <= 500
+),
+edges as (
+  -- th = 1.0: any shared capped posting is an edge (weight = count >= 1)
+  select distinct a.doc_id as src, b.doc_id as dst
+  from capped a join capped b
+    on a.block_key = b.block_key and a.feature = b.feature
+   and a.val = b.val and a.doc_id < b.doc_id
+),
+bi as (select src as a, dst as b from edges union select dst, src from edges),
+reach as (
+  select doc_id as node, doc_id as r from docs
+  union
+  select bi.a, reach.r from bi join reach on reach.node = bi.b
+),
+comp as (select node as doc_id, min(r) as cluster_rep from reach group by node)
+select d.doc_id, d.block_key, c.cluster_rep
+from docs d join comp c using (doc_id)
+"""
+
+
+def _er_combiner_baseline_canon(sf_dir: str):
+    """CurrentProductionCombiner under a SQL oracle (reference
+    `am_combiner/combiners/simple.py:7-38`): every mention in a block is one
+    cluster.  Runs the real registry path, then relabels to the canonical
+    min doc_id per cluster.  Writes its own oracle parquet — query order in
+    the driver is not a dependency."""
+    import shutil
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.combiners import run_combiner
+    from entity_resolution_ray.stages.joins import hash_join
+
+    featured = _er_featured(sf_dir)
+    oracle_dir = "/tmp/er_pair_oracle/featured_baseline"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    featured.select_columns(["doc_id", "block_key"]).write_parquet(oracle_dir)
+
+    clusters = run_combiner(featured, "current_production").materialize()
+    reps = grouped_aggregate(
+        clusters, "cluster_id", {"cluster_rep": ("doc_id", "min")}, num_buckets=8
+    )
+    out = hash_join(clusters, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_key", "cluster_rep"])
+
+
+ER_COMBINER_BASELINE_SQL = """
+select doc_id, block_key,
+       min(doc_id) over (partition by block_key) as cluster_rep
+from read_parquet('/tmp/er_pair_oracle/featured_baseline/*.parquet')
+"""
+
+
 _FEATURED_CACHE: dict[str, object] = {}
 
 
@@ -978,6 +1077,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
+        "er_combiner_cc_canon": _er_combiner_cc_canon,
+        "er_combiner_baseline_canon": _er_combiner_baseline_canon,
         # relational / analytics operators (SQL-oracled)
         "q1_pricing_summary": R.q1_pricing_summary,
         "segment_revenue": R.q_segment_revenue,
@@ -1126,4 +1227,6 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,
+        "er_combiner_cc_canon": ER_COMBINER_CC_SQL,
+        "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
     }
