@@ -1079,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
         "er_combiner_cc_canon": _er_combiner_cc_canon,
         "er_combiner_baseline_canon": _er_combiner_baseline_canon,
+        "minhash_band_pairs": R.q_minhash_band_pairs,
         # relational / analytics operators (SQL-oracled)
         "q1_pricing_summary": R.q1_pricing_summary,
         "segment_revenue": R.q_segment_revenue,
@@ -1229,4 +1230,5 @@ def oracle_sql() -> dict[str, str]:
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,
         "er_combiner_cc_canon": ER_COMBINER_CC_SQL,
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
+        "minhash_band_pairs": R.Q_MINHASH_BAND_PAIRS_SQL,
     }

@@ -30,12 +30,19 @@ def minhash_signature(
 
 
 def minhash_signatures_batch(
-    texts, num_perm: int = 128, ngram: int = 3, seed: int = 7
+    texts, num_perm: int = 128, ngram: int = 3, seed: int = 7,
+    base_hash: str = "blake2b",
 ) -> np.ndarray:
     """(n, num_perm) uint64 signatures for a batch of texts.
 
     Hashes each *unique shingle of the batch* once, then reduces per row —
     the batch-level dedup matters because shingle vocabularies repeat heavily.
+
+    ``base_hash="md5"`` switches the shingle hash to md5-lower-64 (DuckDB's
+    ``md5_number_lower``), making the signature — and the banded candidate
+    join built on it — reproducible bit-for-bit in plain SQL, the same trade
+    as ``simhash_batch`` below.  Signature quality is equivalent either way;
+    blake2b stays the default because it is ~2× faster per shingle.
     """
     rows = [shingle_set(t or "", ngram) for t in texts]
     vocab: dict[str, int] = {}
@@ -55,7 +62,12 @@ def minhash_signatures_batch(
         return np.full(
             (len(rows), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
         )
-    base = hash64_array(flat)
+    if base_hash == "md5":
+        from entity_resolution_ray.utils.hashing import md5_hash64_array
+
+        base = md5_hash64_array(flat)
+    else:
+        base = hash64_array(flat)
     all_hashes = universal_hashes(base, num_perm, seed)  # (vocab, num_perm)
     out = np.full((len(rows), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     for i, ids in enumerate(row_idx):

@@ -567,6 +567,161 @@ where i / (sa.n + sb.n - i) >= {JACCARD_TH}
 """
 
 
+# --- 14b. MinHash-LSH banded candidate pairs, bit-exact under SQL ----------
+MINHASH_ORACLE_PERMS = 16
+MINHASH_ORACLE_BANDS = 8  # r = 2 rows per band
+
+
+def q_minhash_band_pairs(sf_dir: str):
+    """MinHash-LSH candidate pairs with the WHOLE sketch under a SQL oracle:
+    md5-lower-64 shingle hashes (DuckDB ``md5_number_lower``), the seeded
+    ``(a*h+b) mod 2^64`` permutation family inlined into the SQL as HUGEINT
+    literals, banding at b=8/r=2, plus the signature-agreement Jaccard
+    estimate per candidate pair.  Unlike ``jaccard_neardup`` (which oracles
+    the verified OUTPUT), this pins the LSH mechanism itself bit-for-bit —
+    signature, band grouping and estimator.  Docs with no tokens produce no
+    shingle rows on either side (the engine's all-max sentinel rows are
+    dropped before banding).  cap=100000 keeps the engine's pair sharding
+    out of play so semantics stay exactly all-pairs-per-bucket; at corpus
+    scale, near-identical-text floods should instead run the capped/verified
+    ``jaccard_neardup`` path."""
+    from entity_resolution_ray.functions.minhash import minhash_signatures_batch
+    from entity_resolution_ray.functions.text import tokenize_words
+    from entity_resolution_ray.stages.blocking import dedup_pairs, grouped_pairs
+    from entity_resolution_ray.stages.joins import hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_perm, n_bands = MINHASH_ORACLE_PERMS, MINHASH_ORACLE_BANDS
+    r = n_perm // n_bands
+
+    def sigs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        keep = [i for i, t in enumerate(texts) if tokenize_words(t or "")]
+        s = minhash_signatures_batch(
+            [texts[i] for i in keep], n_perm, ngram=3, base_hash="md5"
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(keep, pa.int64())),
+                "sig": pa.array([row.tobytes() for row in s], pa.binary()),
+            }
+        )
+
+    sig = ds.map_batches(sigs, batch_format="pyarrow").materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"doc_id": batch["doc_id"],
+                             "band": pa.array([], pa.int32()),
+                             "band_key": pa.array([], pa.string())})
+        mat = np.frombuffer(
+            b"".join(batch["sig"].to_pylist()), dtype=np.uint64
+        ).reshape(n, n_perm)
+        # key text only needs equal-on-equal within the engine; the SQL
+        # builds its own equivalent key — band_key never leaves this stage
+        keys = [
+            ",".join(str(int(v)) for v in mat[i, bb * r:(bb + 1) * r])
+            for i in range(n) for bb in range(n_bands)
+        ]
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_bands))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(rep),
+                "band": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n)),
+                "band_key": pa.array(keys, pa.string()),
+            }
+        )
+
+    rows = sig.map_batches(band_rows, batch_format="pyarrow")
+    cand = dedup_pairs(
+        grouped_pairs(rows, ["band", "band_key"], cap=100_000)
+    ).materialize()
+
+    s_src = sig.map_batches(
+        lambda t: pa.table({"src": t["doc_id"], "src_sig": t["sig"]}),
+        batch_format="pyarrow",
+    )
+    s_dst = sig.map_batches(
+        lambda t: pa.table({"dst": t["doc_id"], "dst_sig": t["sig"]}),
+        batch_format="pyarrow",
+    )
+    j = hash_join(hash_join(cand, s_src, on="src", num_buckets=8),
+                  s_dst, on="dst", num_buckets=8)
+
+    def est(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({"src": [], "dst": [], "est_jaccard": []})
+        a = np.frombuffer(b"".join(batch["src_sig"]), np.uint64).reshape(n, -1)
+        c = np.frombuffer(b"".join(batch["dst_sig"]), np.uint64).reshape(n, -1)
+        # agreement counts are k/16 — exact binary fractions, so round() is
+        # representation-stable on both engines
+        return pd.DataFrame(
+            {"src": batch["src"].to_numpy(), "dst": batch["dst"].to_numpy(),
+             "est_jaccard": np.round((a == c).mean(axis=1), 6)}
+        )
+
+    return j.map_batches(est, batch_format="pandas")
+
+
+def _minhash_band_pairs_sql() -> str:
+    from entity_resolution_ray.utils.hashing import universal_hash_constants
+
+    a, b = universal_hash_constants(MINHASH_ORACLE_PERMS, 7)
+    vals = ",\n    ".join(
+        f"({p}, {int(a[p])}::HUGEINT, {int(b[p])}::HUGEINT)"
+        for p in range(MINHASH_ORACLE_PERMS)
+    )
+    r = MINHASH_ORACLE_PERMS // MINHASH_ORACLE_BANDS
+    return f"""
+with toks as (select doc_id, {oracle_token_expr()} as t from documents),
+sh as (
+  select doc_id, distinct_sh from (
+    select doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] as distinct_sh
+    from toks, unnest(generate_series(1, greatest(len(t) - 2, 0))) as g(i)
+    union
+    select doc_id, array_to_string(t, ' ') from toks where len(t) < 3 and len(t) > 0
+  ) group by doc_id, distinct_sh
+),
+shh as (select doc_id, md5_number_lower(distinct_sh) as h from sh),
+perms(p, a, b) as (
+  values {vals}
+),
+mh as (
+  select doc_id, p,
+         min((h::HUGEINT * a + b) % 18446744073709551616) as v
+  from shh cross join perms
+  group by doc_id, p
+),
+bands as (
+  select doc_id, p // {r} as band,
+         string_agg(v::varchar, ',' order by p) as band_sig
+  from mh group by doc_id, band
+),
+pairs as (
+  select distinct a.doc_id as src, b.doc_id as dst
+  from bands a join bands b
+    on a.band = b.band and a.band_sig = b.band_sig and a.doc_id < b.doc_id
+),
+eq as (
+  select pr.src, pr.dst,
+         sum(case when x.v = y.v then 1 else 0 end)::double
+           / {MINHASH_ORACLE_PERMS} as e
+  from pairs pr
+  join mh x on x.doc_id = pr.src
+  join mh y on y.doc_id = pr.dst and y.p = x.p
+  group by 1, 2
+)
+select src, dst, round(e, 6) as est_jaccard from eq
+"""
+
+
+Q_MINHASH_BAND_PAIRS_SQL = _minhash_band_pairs_sql()
+
+
 # --- 15. session-window aggregation (gap-based stateful window) -------------
 SESSION_GAP_MIN = 30
 

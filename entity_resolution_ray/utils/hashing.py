@@ -47,15 +47,24 @@ def hash64_array(values) -> np.ndarray:
     return out
 
 
+def universal_hash_constants(num_perm: int, seed: int = 7):
+    """The seeded (a, b) constant vectors behind ``universal_hashes`` —
+    exposed so a SQL oracle can inline the SAME constants as literals and
+    reproduce MinHash signatures bit-for-bit (uint64 wraparound ==
+    ``(h*a + b) % 2^64`` in HUGEINT arithmetic)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE_61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE_61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
 def universal_hashes(base: np.ndarray, num_perm: int, seed: int = 7) -> np.ndarray:
     """(n, num_perm) matrix of universal hashes ``(a*h + b) mod p`` of 64-bit bases.
 
     Used for MinHash permutations.  ``a``/``b`` are drawn from a seeded RNG so
     signatures are deterministic across processes and rounds.
     """
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE_61, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE_61, size=num_perm, dtype=np.uint64)
+    a, b = universal_hash_constants(num_perm, seed)
     base = base.astype(np.uint64).reshape(-1, 1)
     # modular arithmetic in python ints would be slow; uint64 wraparound is a
     # valid universal-ish family for dedup purposes and fully deterministic.

@@ -89,3 +89,33 @@ def test_simhash_similar_texts_close():
     d_ab = hamming_distance64(h[:1], h[1:2])[0]
     d_ac = hamming_distance64(h[:1], h[2:3])[0]
     assert d_ab < d_ac
+
+
+def test_minhash_md5_variant_matches_manual_and_duckdb_hash():
+    """The base_hash="md5" signature must be exactly min over shingles of
+    (md5_lower64(sh) * a + b) mod 2^64 with the seeded constants — that
+    identity is what the minhash_band_pairs SQL oracle relies on."""
+    import duckdb
+
+    from entity_resolution_ray.functions.minhash import (
+        minhash_signatures_batch,
+        shingle_set,
+    )
+    from entity_resolution_ray.utils.hashing import (
+        md5_hash64_array,
+        universal_hash_constants,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    sig = minhash_signatures_batch([text], num_perm=16, ngram=3,
+                                   base_hash="md5")[0]
+    sh = shingle_set(text, 3)
+    a, b = universal_hash_constants(16, 7)
+    base = md5_hash64_array(sh).reshape(-1, 1)
+    manual = (base * a[None, :] + b[None, :]).min(axis=0)
+    np.testing.assert_array_equal(sig, manual)
+    # and the base hash itself is DuckDB's md5_number_lower
+    got = duckdb.sql(
+        "select md5_number_lower(?)", params=[sh[0]]
+    ).fetchone()[0]
+    assert int(got) == int(base[0, 0])
