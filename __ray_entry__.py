@@ -1064,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # newly-oracled ones first so they can't fall out of it.
     return {
         # newly-oracled this round (frontmost: must land in the window)
+        "minhash_dedup_canon": R.q_minhash_dedup_canon,
         "er_pair_weights": _er_pair_weights,
         "doc_terms": _doc_terms,
         "simhash_pairs": _simhash_pairs,
@@ -1231,4 +1232,5 @@ def oracle_sql() -> dict[str, str]:
         "er_combiner_cc_canon": ER_COMBINER_CC_SQL,
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
         "minhash_band_pairs": R.Q_MINHASH_BAND_PAIRS_SQL,
+        "minhash_dedup_canon": R.Q_MINHASH_DEDUP_CANON_SQL,
     }

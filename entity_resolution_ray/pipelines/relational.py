@@ -572,30 +572,15 @@ MINHASH_ORACLE_PERMS = 16
 MINHASH_ORACLE_BANDS = 8  # r = 2 rows per band
 
 
-def q_minhash_band_pairs(sf_dir: str):
-    """MinHash-LSH candidate pairs with the WHOLE sketch under a SQL oracle:
-    md5-lower-64 shingle hashes (DuckDB ``md5_number_lower``), the seeded
-    ``(a*h+b) mod 2^64`` permutation family inlined into the SQL as HUGEINT
-    literals, banding at b=8/r=2, plus the signature-agreement Jaccard
-    estimate per candidate pair.  Unlike ``jaccard_neardup`` (which oracles
-    the verified OUTPUT), this pins the LSH mechanism itself bit-for-bit —
-    signature, band grouping and estimator.  Docs with no tokens produce no
-    shingle rows on either side (the engine's all-max sentinel rows are
-    dropped before banding).  cap=100000 keeps the engine's pair sharding
-    out of play so semantics stay exactly all-pairs-per-bucket; at corpus
-    scale, near-identical-text floods should instead run the capped/verified
-    ``jaccard_neardup`` path."""
+def _md5_minhash_sig(ds, n_perm: int):
+    """Materialized (doc_id, sig) table of md5-based minhash signatures —
+    the SQL-reproducible sketch (md5-lower-64 shingle hash, seeded
+    ``(a*h+b) mod 2^64`` permutations).  Docs with no tokens are dropped
+    (they produce no shingle rows on the SQL side either)."""
     from entity_resolution_ray.functions.minhash import minhash_signatures_batch
     from entity_resolution_ray.functions.text import tokenize_words
-    from entity_resolution_ray.stages.blocking import dedup_pairs, grouped_pairs
-    from entity_resolution_ray.stages.joins import hash_join
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    n_perm, n_bands = MINHASH_ORACLE_PERMS, MINHASH_ORACLE_BANDS
-    r = n_perm // n_bands
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
         keep = [i for i, t in enumerate(texts) if tokenize_words(t or "")]
         s = minhash_signatures_batch(
@@ -608,7 +593,18 @@ def q_minhash_band_pairs(sf_dir: str):
             }
         )
 
-    sig = ds.map_batches(sigs, batch_format="pyarrow").materialize()
+    return ds.map_batches(sigs, batch_format="pyarrow").materialize()
+
+
+def _md5_band_candidates(sig, n_perm: int, n_bands: int):
+    """Banded LSH candidate pairs (src < dst, deduped, materialized) from a
+    signature table.  cap=100000 keeps the engine's pair sharding out of
+    play so semantics stay exactly all-pairs-per-bucket; at corpus scale,
+    near-identical-text floods should instead run the capped/verified
+    ``jaccard_neardup`` path."""
+    from entity_resolution_ray.stages.blocking import dedup_pairs, grouped_pairs
+
+    r = n_perm // n_bands
 
     def band_rows(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -636,9 +632,30 @@ def q_minhash_band_pairs(sf_dir: str):
         )
 
     rows = sig.map_batches(band_rows, batch_format="pyarrow")
-    cand = dedup_pairs(
+    return dedup_pairs(
         grouped_pairs(rows, ["band", "band_key"], cap=100_000)
     ).materialize()
+
+
+def q_minhash_band_pairs(sf_dir: str):
+    """MinHash-LSH candidate pairs with the WHOLE sketch under a SQL oracle:
+    md5-lower-64 shingle hashes (DuckDB ``md5_number_lower``), the seeded
+    ``(a*h+b) mod 2^64`` permutation family inlined into the SQL as HUGEINT
+    literals, banding at b=8/r=2, plus the signature-agreement Jaccard
+    estimate per candidate pair.  Unlike ``jaccard_neardup`` (which oracles
+    the verified OUTPUT), this pins the LSH mechanism itself bit-for-bit —
+    signature, band grouping and estimator.  Docs with no tokens produce no
+    shingle rows on either side (the engine's all-max sentinel rows are
+    dropped before banding).  cap=100000 keeps the engine's pair sharding
+    out of play so semantics stay exactly all-pairs-per-bucket; at corpus
+    scale, near-identical-text floods should instead run the capped/verified
+    ``jaccard_neardup`` path."""
+    from entity_resolution_ray.stages.joins import hash_join
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_perm = MINHASH_ORACLE_PERMS
+    sig = _md5_minhash_sig(ds, n_perm)
+    cand = _md5_band_candidates(sig, n_perm, MINHASH_ORACLE_BANDS)
 
     s_src = sig.map_batches(
         lambda t: pa.table({"src": t["doc_id"], "src_sig": t["sig"]}),
@@ -667,7 +684,10 @@ def q_minhash_band_pairs(sf_dir: str):
     return j.map_batches(est, batch_format="pandas")
 
 
-def _minhash_band_pairs_sql() -> str:
+def _minhash_common_ctes() -> str:
+    """Shared CTE chain (tokens → shingles → md5 hashes → permutation
+    minima → band signatures → banded candidate pairs) used by both the
+    band-pairs oracle and the end-to-end dedup-canon oracle."""
     from entity_resolution_ray.utils.hashing import universal_hash_constants
 
     a, b = universal_hash_constants(MINHASH_ORACLE_PERMS, 7)
@@ -676,8 +696,7 @@ def _minhash_band_pairs_sql() -> str:
         for p in range(MINHASH_ORACLE_PERMS)
     )
     r = MINHASH_ORACLE_PERMS // MINHASH_ORACLE_BANDS
-    return f"""
-with toks as (select doc_id, {oracle_token_expr()} as t from documents),
+    return f"""toks as (select doc_id, {oracle_token_expr()} as t from documents),
 sh as (
   select doc_id, distinct_sh from (
     select doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] as distinct_sh
@@ -705,7 +724,12 @@ pairs as (
   select distinct a.doc_id as src, b.doc_id as dst
   from bands a join bands b
     on a.band = b.band and a.band_sig = b.band_sig and a.doc_id < b.doc_id
-),
+)"""
+
+
+def _minhash_band_pairs_sql() -> str:
+    return f"""
+with {_minhash_common_ctes()},
 eq as (
   select pr.src, pr.dst,
          sum(case when x.v = y.v then 1 else 0 end)::double
@@ -720,6 +744,73 @@ select src, dst, round(e, 6) as est_jaccard from eq
 
 
 Q_MINHASH_BAND_PAIRS_SQL = _minhash_band_pairs_sql()
+
+
+def q_minhash_dedup_canon(sf_dir: str):
+    """The ENTIRE MinHash-LSH dedup chain under one SQL oracle: md5 minhash
+    sketch (16 perms, inlined permutation constants) → b=8/r=2 banding →
+    exact-jaccard verification at JACCARD_TH → distributed
+    connected components → canonical min-doc-id cluster label.  The earlier
+    oracles pin each link separately (``minhash_band_pairs`` the sketch,
+    ``jaccard_neardup`` the verified pairs, ``dedup_jaccard_clusters`` the
+    closure over EXACT pairs); this one pins their composition, including
+    which near-dup pairs the 16-perm LSH tier actually surfaces — candidate
+    recall differences between engine and oracle would hash-mismatch here.
+    Reference parity: the dedup tier generalizes the reference's duplicate
+    handling (am_combiner/utils/data_reading.py drop_duplicates) to
+    content-similarity clusters."""
+    from entity_resolution_ray.stages.dedup import (
+        canonical_dup_labels,
+        exact_jaccard_verify,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    sig = _md5_minhash_sig(ds, MINHASH_ORACLE_PERMS)
+    cand = _md5_band_candidates(sig, MINHASH_ORACLE_PERMS, MINHASH_ORACLE_BANDS)
+    verified = exact_jaccard_verify(
+        ds, cand, ngram=JACCARD_NGRAM, threshold=JACCARD_TH
+    )
+    # tiny derived table: repartition before the iterative CC (gotcha: it
+    # would otherwise inherit the corpus block count into every CC round)
+    pairs = verified.repartition(4).materialize()
+    if pairs.count() == 0:
+        return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                             "cluster_id": np.empty(0, np.int64)})
+    return canonical_dup_labels(pairs, num_buckets=8)
+
+
+def _minhash_dedup_canon_sql() -> str:
+    return f"""
+with recursive {_minhash_common_ctes()},
+sizes as (select doc_id, count(*) as n from sh group by doc_id),
+inter as (
+  select pr.src, pr.dst, count(*) as i
+  from pairs pr
+  join sh a on a.doc_id = pr.src
+  join sh b on b.doc_id = pr.dst and b.distinct_sh = a.distinct_sh
+  group by 1, 2
+),
+verified as (
+  select it.src, it.dst from inter it
+  join sizes sa on sa.doc_id = it.src
+  join sizes sb on sb.doc_id = it.dst
+  where it.i / (sa.n + sb.n - it.i) >= {JACCARD_TH}
+),
+nodes as (select src as id from verified union select dst as id from verified),
+bi as (
+  select src as a, dst as b from verified
+  union select dst as a, src as b from verified
+),
+reach as (
+  select id as node, id as r from nodes
+  union
+  select bi.a as node, reach.r as r from bi join reach on reach.node = bi.b
+)
+select node as doc_id, min(r) as cluster_id from reach group by node
+"""
+
+
+Q_MINHASH_DEDUP_CANON_SQL = _minhash_dedup_canon_sql()
 
 
 # --- 15. session-window aggregation (gap-based stateful window) -------------
@@ -1783,10 +1874,9 @@ def q_dedup_jaccard_clusters(sf_dir: str):
     and takes the component min — two bucketed joins + one grouped min, all
     on the (tiny) duplicate set, never the corpus."""
     from entity_resolution_ray.stages.dedup import (
+        canonical_dup_labels,
         jaccard_neardup_pairs,
-        neardup_clusters,
     )
-    from entity_resolution_ray.utils.hashing import hash64_array
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     # repartition before reuse: the dup-pair table is tiny but inherits the
@@ -1795,26 +1885,7 @@ def q_dedup_jaccard_clusters(sf_dir: str):
     pairs = jaccard_neardup_pairs(
         ds, threshold=JACCARD_TH, ngram=JACCARD_NGRAM, num_perm=128, num_bands=64
     ).repartition(4).materialize()  # consumed twice: CC + hash->id mapping
-    labels = neardup_clusters(pairs, num_buckets=8)  # (node, label) int64 hashes
-
-    def ids_of(batch: pa.Table) -> pa.Table:
-        vals = sorted(set(batch["src"].to_pylist()) | set(batch["dst"].to_pylist()))
-        node = hash64_array([str(v) for v in vals]).view(np.int64)
-        return pa.table({"node": pa.array(node),
-                         "doc_id": pa.array(vals, pa.int64())})
-
-    ids = grouped_aggregate(
-        pairs.map_batches(ids_of, batch_format="pyarrow"),
-        "node", {"doc_id": ("doc_id", "min")}, num_buckets=4,
-    )
-    j = hash_join(labels, ids, on="node", num_buckets=8)
-    mins = grouped_aggregate(
-        j, "label", {"cluster_id": ("doc_id", "min")}, num_buckets=4)
-    out = hash_join(j, mins, on="label", num_buckets=8)
-    # the CC label table carries one row per (node, bucket-subgraph) — all
-    # agreeing on the final label — so collapse to one row per doc
-    return grouped_aggregate(
-        out, "doc_id", {"cluster_id": ("cluster_id", "min")}, num_buckets=4)
+    return canonical_dup_labels(pairs, num_buckets=8)
 
 
 Q_DEDUP_JACCARD_CLUSTERS_SQL = f"""

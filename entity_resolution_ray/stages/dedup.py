@@ -165,9 +165,16 @@ def jaccard_neardup_pairs(ds, threshold: float = 0.4, num_perm: int = 128,
         band_rows, ["band", "band_key"], id_col="doc_id", cap=200
     )
     cand = dedup_pairs(cand).materialize()
+    return exact_jaccard_verify(ds, cand, ngram=ngram, threshold=threshold)
 
-    from entity_resolution_ray.stages.joins import hash_join
 
+def exact_jaccard_verify(ds, cand, ngram: int = 3, threshold: float = 0.4):
+    """Exact-jaccard verification of a MATERIALIZED candidate pair table
+    against the corpus ``ds`` — the verify half of ``jaccard_neardup_pairs``,
+    reusable by any candidate generator (LSH banding, winnowing, a SQL-pinned
+    sketch).  Returns (src, dst, jaccard) with jaccard ≥ threshold; pairs
+    where either side has zero shingles score 0 and drop (the SQL-oracle
+    convention: empty docs produce no shingle rows, hence no pairs)."""
     sh = shingle_hash_table(ds, ngram=ngram).materialize()
     sh_src = sh.map_batches(
         lambda t: pa.table({"src": t["doc_id"], "src_sh": t["sh"], "src_n": t["n_sh"]}),
@@ -418,6 +425,41 @@ def neardup_clusters(pairs_ds, all_ids_ds=None, id_col: str = "doc_id",
     edges = pairs_ds.map_batches(as_str, batch_format="pyarrow")
     labels = connected_components_labelprop(edges, num_buckets=num_buckets)
     return labels
+
+
+def canonical_dup_labels(pairs_ds, num_buckets: int = 8):
+    """Verified dup pairs → (doc_id, cluster_id) with the canonical
+    min-doc-id label per connected component — the hash-checkable form of
+    ``neardup_clusters`` (whose raw 64-bit node/label hashes are not
+    SQL-comparable).  The CC runs on node hashes (never ships raw keys
+    through the contraction shuffles); canonicalization joins the hash back
+    to its doc_id and takes the component min — two bucketed joins + one
+    grouped min, all on the (tiny) duplicate set, never the corpus.
+    ``pairs_ds`` must be materialized (consumed twice: CC + hash→id map)."""
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.joins import hash_join
+    from entity_resolution_ray.utils.hashing import hash64_array
+
+    labels = neardup_clusters(pairs_ds, num_buckets=num_buckets)
+
+    def ids_of(batch: pa.Table) -> pa.Table:
+        vals = sorted(set(batch["src"].to_pylist()) | set(batch["dst"].to_pylist()))
+        node = hash64_array([str(v) for v in vals]).view(np.int64)
+        return pa.table({"node": pa.array(node),
+                         "doc_id": pa.array(vals, pa.int64())})
+
+    ids = grouped_aggregate(
+        pairs_ds.map_batches(ids_of, batch_format="pyarrow"),
+        "node", {"doc_id": ("doc_id", "min")}, num_buckets=4,
+    )
+    j = hash_join(labels, ids, on="node", num_buckets=num_buckets)
+    mins = grouped_aggregate(
+        j, "label", {"cluster_id": ("doc_id", "min")}, num_buckets=4)
+    out = hash_join(j, mins, on="label", num_buckets=num_buckets)
+    # the CC label table carries one row per (node, bucket-subgraph) — all
+    # agreeing on the final label — so collapse to one row per doc
+    return grouped_aggregate(
+        out, "doc_id", {"cluster_id": ("cluster_id", "min")}, num_buckets=4)
 
 
 # --- embedding cosine, LSH-bucketed approximate tier ----------------------
