@@ -1065,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # newly-oracled this round (frontmost: must land in the window)
         "minhash_dedup_canon": R.q_minhash_dedup_canon,
+        "passage_dedup": R.q_passage_dedup,
         "er_pair_weights": _er_pair_weights,
         "doc_terms": _doc_terms,
         "simhash_pairs": _simhash_pairs,
@@ -1233,4 +1234,5 @@ def oracle_sql() -> dict[str, str]:
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
         "minhash_band_pairs": R.Q_MINHASH_BAND_PAIRS_SQL,
         "minhash_dedup_canon": R.Q_MINHASH_DEDUP_CANON_SQL,
+        "passage_dedup": R.Q_PASSAGE_DEDUP_SQL,
     }

@@ -813,6 +813,46 @@ select node as doc_id, min(r) as cluster_id from reach group by node
 Q_MINHASH_DEDUP_CANON_SQL = _minhash_dedup_canon_sql()
 
 
+# --- 14d. passage-level exact dedup -----------------------------------------
+PASSAGE_K = 10
+
+
+def q_passage_dedup(sf_dir: str):
+    """Global k-token-chunk exact dedup with per-doc survival stats and the
+    md5 of the cleaned (first-occurrence-only) text — the passage/line-dedup
+    step of an LLM training-data pipeline, hash-exact under SQL."""
+    from entity_resolution_ray.stages.dedup import passage_exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return passage_exact_dedup(ds, k=PASSAGE_K)
+
+
+Q_PASSAGE_DEDUP_SQL = f"""
+with toks as (select doc_id, {oracle_token_expr()} as t from documents),
+chunks as (
+  select doc_id, i as chunk_no,
+         array_to_string(t[(i-1)*{PASSAGE_K}+1 : least(i*{PASSAGE_K}, len(t))],
+                         ' ') as chunk_text
+  from toks, unnest(generate_series(1, ceil(len(t) / {PASSAGE_K})::bigint)) as g(i)
+  where len(t) > 0
+),
+firsts as (
+  select chunk_text, min(doc_id * 2097152 + chunk_no) as min_pack
+  from chunks group by chunk_text
+),
+flagged as (
+  select c.doc_id, c.chunk_no, c.chunk_text,
+         (c.doc_id * 2097152 + c.chunk_no = f.min_pack) as kept
+  from chunks c join firsts f using (chunk_text)
+)
+select doc_id, count(*)::bigint as n_chunks,
+       sum(case when kept then 1 else 0 end)::bigint as n_kept,
+       md5(coalesce(string_agg(chunk_text, ' ' order by chunk_no)
+                      filter (where kept), '')) as clean_md5
+from flagged group by doc_id
+"""
+
+
 # --- 15. session-window aggregation (gap-based stateful window) -------------
 SESSION_GAP_MIN = 30
 

@@ -677,3 +677,95 @@ def decontaminate(ds, bench_pct: int = 5, ngram: int = 8):
     # grams are distinct per doc, so size == distinct shared grams
     return grouped_aggregate(
         hits, "doc_id", {"n_shared_grams": ("gram", "size")})
+
+
+# --- passage-level exact dedup ---------------------------------------------
+PASSAGE_PACK = 1 << 21  # chunk_no < 2M per doc (k-token chunks: 2M*k tokens)
+
+
+def passage_exact_dedup(ds, k: int = 10, id_col: str = "doc_id",
+                        text_col: str = "text", num_buckets: int = 8):
+    """Passage-level exact dedup (the Lee-et-al.-2022 'Deduplicating Training
+    Data Makes Language Models Better' shape at chunk granularity): split each
+    doc's token stream into non-overlapping k-token chunks, keep each distinct
+    chunk text only at its globally-FIRST occurrence — min packed
+    (doc_id, chunk_no), chunk_no 1-based — and emit per-doc survival stats:
+    (doc_id, n_chunks, n_kept, clean_md5) where clean_md5 is the md5 of the
+    kept chunks re-joined in order ('' when every chunk was seen earlier).
+
+    Ray shape: one chunking map (corpus → ~tokens/k rows: chunk text bounded
+    at k tokens + 64-bit chunk hash + packed position), a bucketized grouped
+    MIN over chunk-hash (first occurrence — partial min inside each bucket,
+    never a per-chunk group dispatch), a bucketized hash join back, then one
+    doc-hash-bucketed pass for the per-doc stats — O(rows), not O(docs).
+    Chunk equality is by 64-bit hash (collision odds ~|chunks|²/2⁶⁴,
+    the shingle-table convention).  Docs with zero tokens produce no chunk
+    rows and are absent from the output (the SQL-oracle convention)."""
+    import hashlib
+
+    from entity_resolution_ray.functions.text import tokenize_words
+    from entity_resolution_ray.stages.aggregate import _add_bucket, grouped_aggregate
+    from entity_resolution_ray.stages.joins import hash_join
+    from entity_resolution_ray.utils.hashing import hash64_array
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        out_id: list[int] = []
+        out_no: list[int] = []
+        out_txt: list[str] = []
+        for d, t in zip(batch[id_col].to_pylist(),
+                        batch[text_col].to_pylist()):
+            toks = tokenize_words(t or "")
+            for j in range(0, len(toks), k):
+                out_id.append(d)
+                out_no.append(j // k + 1)
+                out_txt.append(" ".join(toks[j:j + k]))
+        ids = np.asarray(out_id, np.int64) if out_id else np.empty(0, np.int64)
+        nos = np.asarray(out_no, np.int64) if out_no else np.empty(0, np.int64)
+        h = (hash64_array(out_txt).view(np.int64)
+             if out_txt else np.empty(0, np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "chunk_no": pa.array(nos),
+                "chunk_text": pa.array(out_txt, pa.string()),
+                "chunk_hash": pa.array(h),
+                "pack": pa.array(ids * PASSAGE_PACK + nos),
+            }
+        )
+
+    chunks = ds.select_columns([id_col, text_col]).map_batches(
+        chunk_rows, batch_format="pyarrow")
+    firsts = grouped_aggregate(
+        chunks.select_columns(["chunk_hash", "pack"]),
+        "chunk_hash", {"min_pack": ("pack", "min")}, num_buckets=num_buckets,
+    )
+    flagged = hash_join(chunks, firsts, on="chunk_hash",
+                        num_buckets=num_buckets)
+
+    def per_doc(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) == 0:
+            return pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "n_chunks": np.empty(0, np.int64),
+                                 "n_kept": np.empty(0, np.int64),
+                                 "clean_md5": pd.Series([], dtype=object)})
+        df = group.sort_values(["doc_id", "chunk_no"], kind="mergesort")
+        kept = df["pack"].to_numpy() == df["min_pack"].to_numpy()
+        n_chunks = df.groupby("doc_id", sort=False).size()
+        n_kept = (pd.Series(kept, index=df.index)
+                  .groupby(df["doc_id"], sort=False).sum().astype(np.int64))
+        joined = (df.loc[kept].groupby("doc_id", sort=False)["chunk_text"]
+                  .agg(" ".join).reindex(n_chunks.index).fillna(""))
+        return pd.DataFrame(
+            {
+                "doc_id": n_chunks.index.to_numpy(np.int64),
+                "n_chunks": n_chunks.to_numpy(np.int64),
+                "n_kept": n_kept.to_numpy(np.int64),
+                "clean_md5": [hashlib.md5(s.encode("utf-8")).hexdigest()
+                              for s in joined.to_numpy()],
+            }
+        )
+
+    bucketed = flagged.map_batches(
+        lambda b: _add_bucket(b, ["doc_id"], 16), batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        per_doc, batch_format="pandas")

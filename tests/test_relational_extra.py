@@ -153,3 +153,39 @@ def test_winnow_guarantee_and_edges():
     # dissimilar docs don't collide
     c = w._doc_fingerprints("completely different words entirely here now")
     assert len(np.intersect1d(a, c)) == 0
+
+
+def test_passage_exact_dedup(ray_session):
+    """Hand-checkable passage dedup: k=2 chunks, a chunk repeated across and
+    within docs survives only at its globally-first (doc_id, chunk_no);
+    clean_md5 re-joins exactly the kept chunks; empty docs vanish."""
+    import hashlib
+
+    import ray
+
+    from entity_resolution_ray.stages.dedup import passage_exact_dedup
+
+    docs = [
+        {"doc_id": 1, "text": "aa bb cc dd"},        # chunks: "aa bb", "cc dd"
+        {"doc_id": 2, "text": "cc dd ee ff aa bb"},  # "cc dd" dup, "ee ff" new, "aa bb" dup
+        {"doc_id": 3, "text": "ee ff ee ff gg"},     # "ee ff" dup, "ee ff" dup, "gg" new
+        {"doc_id": 4, "text": ""},                   # no tokens -> absent
+    ]
+    out = passage_exact_dedup(
+        ray.data.from_items(docs).repartition(2), k=2, num_buckets=2
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_chunks"].tolist() == [2, 3, 3]
+    assert out["n_kept"].tolist() == [2, 1, 1]
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out["clean_md5"].tolist() == [
+        md5("aa bb cc dd"), md5("ee ff"), md5("gg")]
+
+    # all-duplicate doc: kept-nothing => md5 of empty string
+    dup_only = passage_exact_dedup(
+        ray.data.from_items([{"doc_id": 1, "text": "xx yy"},
+                             {"doc_id": 2, "text": "xx yy"}]), k=2,
+    ).to_pandas().sort_values("doc_id")
+    assert dup_only["n_kept"].tolist() == [1, 0]
+    assert dup_only["clean_md5"].tolist() == [md5("xx yy"), md5("")]
