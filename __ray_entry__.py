@@ -1076,6 +1076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_codes": R.q_phonetic_codes,
         "er_blocks_phonetic_canon": _er_blocks_phonetic_canon,
         "doc_repetition": R.q_doc_repetition,
+        "doc_unigram_nll": R.q_doc_unigram_nll,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1227,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         "phonetic_codes": R.Q_PHONETIC_CODES_SQL,
         "er_blocks_phonetic_canon": ER_BLOCKS_PHONETIC_SQL,
         "doc_repetition": R.Q_DOC_REPETITION_SQL,
+        "doc_unigram_nll": R.Q_DOC_UNIGRAM_NLL_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

@@ -2648,3 +2648,36 @@ join names b
   on a.p_type = b.p_type and a.noun = b.noun and a.p_name < b.p_name
 where jaro_winkler_similarity(a.p_name, b.p_name) >= {JW_PAIR_TH}
 """
+
+
+# --- 57. unigram-LM quality score (CCNet-style NLL proxy) ---------------------
+def q_doc_unigram_nll(sf_dir: str):
+    """Corpus-fitted unigram LM negative-log-likelihood per document — the
+    distributable skeleton of CCNet's perplexity quality filter (Wenzek et
+    al. 2020; they use a KenLM 5-gram, same fit→broadcast→score shape).
+    Fit is a vocabulary-sized combiner-merged count; scoring is a broadcast
+    lookup, no shuffle.  Exact under SQL: every token is in-vocabulary, so
+    the oracle is an inner join against the same counts."""
+    from entity_resolution_ray.stages.textstats import (
+        fit_unigram_counts,
+        unigram_nll,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab, total = fit_unigram_counts(ds)
+    return unigram_nll(ds, vocab, total)
+
+
+Q_DOC_UNIGRAM_NLL_SQL = f"""
+with toks as (
+  select doc_id, unnest({oracle_token_expr()}) as tok from documents
+),
+vocab as (select tok, count(*)::bigint as cnt from toks group by tok),
+tot as (select count(*)::bigint as n from toks)
+select t.doc_id,
+       count(*)::bigint as token_count,
+       round(avg(ln((select n from tot)::double / v.cnt)), 6) as mean_nll,
+       round(max(ln((select n from tot)::double / v.cnt)), 6) as max_nll
+from toks t join vocab v on t.tok = v.tok
+group by t.doc_id
+"""

@@ -208,3 +208,95 @@ def repetition_stats(ds, concurrency=(1, 8), batch_size: int = 2048):
         RepetitionStats, batch_format="pyarrow",
         batch_size=batch_size, concurrency=concurrency,
     )
+
+
+class UnigramNLL:
+    """Unigram language-model scorer — the CCNet-style quality proxy
+    (Wenzek et al. 2020 use a KenLM 5-gram; the distributable skeleton is
+    identical): score(doc) = mean over tokens of -ln p(token), with p
+    fitted on the corpus itself (``fit_unigram_counts``).  High mean-NLL
+    flags gibberish / rare-vocabulary documents; low flags boilerplate.
+
+    The fitted vocabulary is broadcast once (``ray.put``) and resolved in
+    each actor's ``__init__`` — per-actor, not per-batch.  Every token is
+    in-vocabulary by construction (the fit ran over the same corpus), so
+    there is no smoothing term and the SQL oracle is an exact join.
+
+    Float parity with the DuckDB oracle: per-token NLL is
+    ``ln(total/cnt)`` computed in float64 via libm on both engines;
+    per-doc mean/max round half-away-from-zero to 6 decimals
+    (``RepetitionStats._round6`` convention).
+    """
+
+    def __init__(self, vocab_ref, total: int):
+        import math
+
+        import ray
+
+        vocab = ray.get(vocab_ref) if not isinstance(vocab_ref, dict) else vocab_ref
+        t = float(total)
+        self.nll = {tok: math.log(t / cnt) for tok, cnt in vocab.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        r6 = RepetitionStats._round6
+        ids, n_tok, mean_nll, max_nll = [], [], [], []
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for i, text in enumerate(batch["text"].to_pylist()):
+            toks = tokenize_words(text or "")
+            if not toks:
+                continue  # SQL inner join: token-less docs emit no row
+            vals = [self.nll[t] for t in toks]
+            ids.append(doc_ids[i])
+            n_tok.append(len(vals))
+            mean_nll.append(r6(sum(vals) / len(vals)))
+            max_nll.append(r6(max(vals)))
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, dtype=doc_ids.dtype)),
+            "token_count": pa.array(np.asarray(n_tok, np.int64)),
+            "mean_nll": pa.array(np.asarray(mean_nll, np.float64)),
+            "max_nll": pa.array(np.asarray(max_nll, np.float64)),
+        })
+
+
+def fit_unigram_counts(ds, num_buckets: int = 32) -> tuple[dict, int]:
+    """Distributed unigram count fit: per-batch ``Counter`` partials (one
+    row per distinct token per batch — the combiner that keeps the shuffle
+    vocabulary-sized, not corpus-sized) merged by a bucketed exact groupby.
+
+    The merged vocabulary is collected to the driver and broadcast; by
+    Heaps' law it grows sublinearly (~100M types at 100 TB ≈ a few GB —
+    still a feasible ``ray.put``).  Beyond that, swap the broadcast for a
+    ``hash_join`` of the exploded token table against the vocab Dataset;
+    the fit side is unchanged.
+    """
+    from collections import Counter
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for text in batch["text"].to_pylist():
+            c.update(tokenize_words(text or ""))
+        return pa.table({
+            "tok": pa.array(list(c.keys()), pa.string()),
+            "cnt": pa.array(np.fromiter(c.values(), np.int64, len(c))),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=2048)
+    vocab_df = grouped_aggregate(
+        partials, "tok", {"cnt": ("cnt", "sum")}, num_buckets=num_buckets
+    ).to_pandas()  # vocabulary-sized, bounded (see docstring)
+    total = int(vocab_df["cnt"].sum())
+    return dict(zip(vocab_df["tok"], vocab_df["cnt"].astype(int))), total
+
+
+def unigram_nll(ds, vocab: dict, total: int, concurrency=(1, 8),
+                batch_size: int = 2048):
+    """Per-doc (token_count, mean_nll, max_nll) via broadcast vocab."""
+    import ray
+
+    ref = ray.put({t: int(c) for t, c in vocab.items()})
+    return ds.map_batches(
+        UnigramNLL, fn_constructor_kwargs={"vocab_ref": ref, "total": total},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
