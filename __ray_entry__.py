@@ -1077,6 +1077,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "er_blocks_phonetic_canon": _er_blocks_phonetic_canon,
         "doc_repetition": R.q_doc_repetition,
         "doc_unigram_nll": R.q_doc_unigram_nll,
+        "priority_sample": R.q_priority_sample,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1229,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "er_blocks_phonetic_canon": ER_BLOCKS_PHONETIC_SQL,
         "doc_repetition": R.Q_DOC_REPETITION_SQL,
         "doc_unigram_nll": R.Q_DOC_UNIGRAM_NLL_SQL,
+        "priority_sample": R.Q_PRIORITY_SAMPLE_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

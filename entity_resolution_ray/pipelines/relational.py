@@ -2681,3 +2681,40 @@ select t.doc_id,
 from toks t join vocab v on t.tok = v.tok
 group by t.doc_id
 """
+
+
+# --- 58. weighted sample without replacement (priority sampling) --------------
+PRIORITY_SAMPLE_K = 100
+
+
+def q_priority_sample(sf_dir: str, k: int = PRIORITY_SAMPLE_K):
+    """Duffield–Lund–Thorup priority sample of orders weighted by
+    o_totalprice, with the max(w, τ) subset-sum estimator — the weighted
+    analogue of q_doc_sample_stats' rate sampling and q_stratified_docs'
+    quota sampling.  Membership/order are bit-exact vs SQL (see
+    stages/analytics.priority_sample)."""
+    from entity_resolution_ray.stages.analytics import priority_sample
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return priority_sample(ds, "o_orderkey", "o_totalprice", k)
+
+
+Q_PRIORITY_SAMPLE_SQL = f"""
+with pri as (
+  select o_orderkey, o_totalprice,
+         o_totalprice /
+           ((md5_number_lower(o_orderkey::varchar) + 1) / 18446744073709551616.0)
+           as q
+  from orders
+),
+ranked as (
+  select o_orderkey, o_totalprice, q,
+         row_number() over (order by q desc, o_orderkey) as rn
+  from pri
+)
+select r.o_orderkey, r.o_totalprice, r.rn,
+       round(greatest(r.o_totalprice,
+             coalesce((select q from ranked where rn = {PRIORITY_SAMPLE_K + 1}),
+                      0.0)), 6) as est_weight
+from ranked r where r.rn <= {PRIORITY_SAMPLE_K}
+"""

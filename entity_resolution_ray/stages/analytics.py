@@ -604,3 +604,59 @@ def grouped_percentiles_unbounded(
         row["n"] = n
         out_rows.append(row)
     return _pd.DataFrame(out_rows)
+
+
+def priority_sample(ds, key_col: str, weight_col: str, k: int):
+    """Duffield–Lund–Thorup priority sampling (JACM 2007): a deterministic
+    weighted sample-without-replacement of size ``k`` with an unbiased
+    subset-sum estimator.  Priority q = w / u with u = (md5_lower64(key)+1)
+    / 2^64; keep the k largest priorities; the (k+1)-th priority τ gives
+    the estimator  ŵ = max(w, τ)  (sum of ŵ over the sample estimates the
+    population weight of any selected subset).
+
+    Bit-exact under a SQL oracle BY CONSTRUCTION: uint64→float64
+    conversion, division by 2^64 (a pure exponent shift) and w/u are each
+    single correctly-rounded IEEE-754 ops, so DuckDB computes the
+    IDENTICAL doubles — sample membership and order carry no float
+    tolerance (unlike ln/pow-based Efraimidis–Spirakis keys, which would
+    ride on libm).
+
+    Scale shape: a per-block partial top-(k+1) prunes the exchange to
+    (k+1)·num_blocks rows, the global sort+limit runs on that bounded
+    table, and the driver touches exactly k+1 rows (τ).  No stage grows
+    with the corpus.
+    """
+    import pyarrow as pa
+
+    from entity_resolution_ray.utils.hashing import md5_hash64_array
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        h = md5_hash64_array([str(v) for v in keys])
+        # +1 in uint64 (exact; h = 2^64-1 has probability 2^-64), then ONE
+        # correctly-rounded conversion — matching SQL's (ubigint+1)::double
+        u = (h + np.uint64(1)).astype(np.float64) / np.float64(2.0 ** 64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = w / u
+        order = np.lexsort((np.asarray(keys), -q))[: k + 1]
+        return pa.table({
+            key_col: batch[key_col].take(pa.array(order)),
+            weight_col: batch[weight_col].take(pa.array(order)),
+            "q": pa.array(q[order], pa.float64()),
+        })
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .sort(["q", key_col], descending=[True, False])
+        .limit(k + 1)
+        .take_all()
+    )
+    tau = float(top[k]["q"]) if len(top) > k else 0.0
+    sel = top[:k]
+    w = np.array([r[weight_col] for r in sel], np.float64)
+    return pd.DataFrame({
+        key_col: [r[key_col] for r in sel],
+        weight_col: w,
+        "rn": np.arange(1, len(sel) + 1, dtype=np.int64),
+        "est_weight": _round_half_away(np.maximum(w, tau), 6),
+    })
