@@ -1078,6 +1078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": R.q_doc_repetition,
         "doc_unigram_nll": R.q_doc_unigram_nll,
         "priority_sample": R.q_priority_sample,
+        "events_range_join": R.q_events_range_join,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1231,6 +1232,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": R.Q_DOC_REPETITION_SQL,
         "doc_unigram_nll": R.Q_DOC_UNIGRAM_NLL_SQL,
         "priority_sample": R.Q_PRIORITY_SAMPLE_SQL,
+        "events_range_join": R.Q_EVENTS_RANGE_JOIN_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

@@ -2718,3 +2718,62 @@ select r.o_orderkey, r.o_totalprice, r.rn,
                       0.0)), 6) as est_weight
 from ranked r where r.rn <= {PRIORITY_SAMPLE_K}
 """
+
+
+# --- 59. banded interval (range) join ----------------------------------------
+RANGE_JOIN_TRIGGER_VALUE = 200.0
+RANGE_JOIN_WINDOW_US = 60 * 60 * 1_000_000  # 60 minutes
+
+
+def q_events_range_join(sf_dir: str):
+    """Pure range join with NO equality key: every error event paired with
+    every high-value purchase whose 60-minute window contains it.  Banded
+    by 1-hour time buckets (intervals replicate to ≤ 2 bands, points to 1,
+    one tagged-union shuffle) — the join shape Ray Data's API lacks.  The
+    oracle is the plain non-equi SQL join."""
+    from entity_resolution_ray.stages.joins import interval_join
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type", "value"])
+
+    def mk_points(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "error"))
+        return b.select(["event_id", "ts"])
+
+    def mk_intervals(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.and_(
+            pc.equal(batch["event_type"], "purchase"),
+            pc.greater(batch["value"], RANGE_JOIN_TRIGGER_VALUE)))
+        start = b["ts"]
+        end = pc.cast(
+            pc.add(pc.cast(start, pa.int64()), RANGE_JOIN_WINDOW_US),
+            start.type if not isinstance(start, pa.ChunkedArray)
+            else start.type)
+        return pa.table({
+            "trigger_id": b["event_id"],
+            "t_start": start,
+            "t_end": end,
+            "trigger_value": pc.cast(b["value"], pa.float64()),
+        })
+
+    points = ev.map_batches(mk_points, batch_format="pyarrow")
+    intervals = ev.map_batches(mk_intervals, batch_format="pyarrow")
+    return interval_join(
+        points, intervals, point_ts="ts", start_col="t_start",
+        end_col="t_end", point_cols=["event_id", "ts"],
+        interval_cols=["trigger_id", "trigger_value"],
+        out_types={"event_id": pa.int64(), "ts": pa.timestamp("us"),
+                   "trigger_id": pa.int64(), "trigger_value": pa.float64()},
+        band_us=RANGE_JOIN_WINDOW_US, num_buckets=16,
+    )
+
+
+Q_EVENTS_RANGE_JOIN_SQL = f"""
+select e.event_id, e.ts, p.event_id as trigger_id, p.value as trigger_value
+from events e
+join events p
+  on p.event_type = 'purchase' and p.value > {RANGE_JOIN_TRIGGER_VALUE}
+ and e.event_type = 'error'
+ and e.ts >= p.ts
+ and e.ts < p.ts + interval 60 minutes
+"""

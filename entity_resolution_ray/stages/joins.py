@@ -551,3 +551,93 @@ def merge_upsert(base_ds, updates_ds, on, num_buckets: int = 64,
 
     return tagged.groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+
+
+def interval_join(points, intervals, point_ts: str, start_col: str,
+                  end_col: str, point_cols: list[str],
+                  interval_cols: list[str], out_types: dict,
+                  band_us: int, num_buckets: int = 32):
+    """Banded interval (range) join: every point row pairs with every
+    interval row whose ``[start, end)`` contains its timestamp — no
+    equality key required (the pure range join Ray Data lacks; the
+    reference has no analogue either, this is an engine-native §2.15 op).
+
+    Partitioning: time is cut into fixed bands of ``band_us`` µs.  Each
+    interval replicates to every band it overlaps (≤ ceil(width/band)+1
+    copies — keep ``band_us`` at or above the typical interval width so
+    the factor stays ≤ 2); each point lands in exactly ONE band; a single
+    tagged-union hash shuffle co-locates band-mates; a pair can only meet
+    in the point's band, so the output needs no dedup.  In-bucket work is
+    a vectorized pandas equality-merge on the band id plus the exact range
+    filter.  Skew knob: the band width — size it so one band holds minutes
+    of data; a still-hot band can additionally salt its points and
+    replicate that band's intervals per salt.
+
+    ``out_types`` pins the output Arrow schema (= point_cols +
+    interval_cols); per-bucket pandas passes drift null-padded int64s to
+    float64 otherwise (see hash_join note in ray-data gotchas).
+    """
+    import pyarrow as pa
+
+    band_us = int(band_us)
+    all_cols = list(point_cols) + list(interval_cols)
+    out_schema = pa.schema([(c, out_types[c]) for c in all_cols])
+
+    def _tag(batch: pa.Table, side: int, bands: np.ndarray,
+             rep: np.ndarray | None, extra: dict) -> pa.Table:
+        own = point_cols if side == 0 else interval_cols
+        other = interval_cols if side == 0 else point_cols
+        take = pa.array(rep) if rep is not None else None
+        cols = {}
+        for c in own:
+            cols[c] = batch[c].take(take) if take is not None else batch[c]
+        n = len(bands)
+        for c in other:
+            cols[c] = pa.nulls(n, out_schema.field(c).type)
+        for name, arr in extra.items():
+            cols[name] = pa.array(arr, pa.int64())
+        cols["__side"] = pa.array(np.full(n, side, np.int8))
+        cols["__band"] = pa.array(bands, pa.int64())
+        cols["__bucket"] = pa.array(
+            (bands % num_buckets + num_buckets) % num_buckets, pa.int64())
+        return pa.table(cols)
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        ts = batch[point_ts].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        zero = np.zeros(n, np.int64)
+        return _tag(batch, 0, ts // band_us, None,
+                    {"__ts": ts, "__lo": zero, "__hi": zero})
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        s = batch[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = batch[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = s // band_us
+        b1 = np.maximum(b0, (e - 1) // band_us)  # end-exclusive
+        counts = (b1 - b0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(s), dtype=np.int64), counts)
+        off = np.arange(rep.size, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        return _tag(batch, 1, b0[rep] + off, rep,
+                    {"__ts": np.zeros(rep.size, np.int64),
+                     "__lo": s[rep], "__hi": e[rep]})
+
+    unioned = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow"))
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        p = group[group["__side"] == 0]
+        iv = group[group["__side"] == 1]
+        if p.empty or iv.empty:
+            return out_schema.empty_table()
+        m = p[["__band", "__ts"] + point_cols].merge(
+            iv[["__band", "__lo", "__hi"] + interval_cols], on="__band")
+        # µs epochs < 2^53: exact through any float64 dtype drift
+        keep = (m["__ts"] >= m["__lo"]) & (m["__ts"] < m["__hi"])
+        sel = m.loc[keep, all_cols]
+        return pa.Table.from_pandas(sel, preserve_index=False).cast(out_schema)
+
+    return unioned.groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")
