@@ -1079,6 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_nll": R.q_doc_unigram_nll,
         "priority_sample": R.q_priority_sample,
         "events_range_join": R.q_events_range_join,
+        "part_pagerank": R.q_part_pagerank,
+        "part_triangles": R.q_part_triangles,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1233,6 +1235,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_unigram_nll": R.Q_DOC_UNIGRAM_NLL_SQL,
         "priority_sample": R.Q_PRIORITY_SAMPLE_SQL,
         "events_range_join": R.Q_EVENTS_RANGE_JOIN_SQL,
+        "part_pagerank": R.Q_PART_PAGERANK_SQL,
+        "part_triangles": R.Q_PART_TRIANGLES_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

@@ -2777,3 +2777,106 @@ join events p
  and e.ts >= p.ts
  and e.ts < p.ts + interval 60 minutes
 """
+
+
+# --- 60. co-occurrence graph + distributed PageRank ---------------------------
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power iteration (recursive CTEs can't aggregate in the
+    recursive term), bit-matching stages/clustering.pagerank."""
+    ctes = [f"""bi as (
+  select src as u, dst as v from edges union all select dst, src from edges
+),
+deg as (select u, count(*)::bigint as outdeg from bi group by u),
+nn as (select count(*)::bigint as c from deg),
+pr0 as (select u as node, 1.0 / (select c from nn) as r from deg)"""]
+    for i in range(PAGERANK_ITERS):
+        ctes.append(f"""pr{i + 1} as (
+  select b.v as node,
+         (1.0 - {PAGERANK_DAMPING}) / (select c from nn)
+           + {PAGERANK_DAMPING} * sum(p.r / d.outdeg) as r
+  from pr{i} p
+  join bi b on b.u = p.node
+  join deg d on d.u = p.node
+  group by b.v
+)""")
+    return (
+        f"with {PART_EDGES_SQL_CTES},\n" + ",\n".join(ctes) +
+        f"\nselect node, round(r * 1000000, 6) as rank_ppm from pr{PAGERANK_ITERS}"
+    )
+
+
+def _part_cooccurrence_edges(sf_dir: str):
+    """Distinct undirected 'parts sharing an order' edges (src < dst):
+    distinct (order, part) rows → per-order triu pair emission (orders hold
+    ≤ ~7 items, so the blow-up is bounded) → global pair dedup.  Shared by
+    the PageRank and triangle-count graph queries."""
+    from entity_resolution_ray.stages.blocking import dedup_pairs, grouped_pairs
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    items = grouped_aggregate(
+        li, ["l_orderkey", "l_partkey"], {"cnt": ("l_partkey", "size")},
+        num_buckets=32,
+    )
+    return dedup_pairs(grouped_pairs(
+        items, "l_orderkey", id_col="l_partkey", cap=100_000, num_buckets=32))
+
+
+PART_EDGES_SQL_CTES = """items as (select distinct l_orderkey, l_partkey from lineitem),
+edges as (
+  select distinct a.l_partkey as src, b.l_partkey as dst
+  from items a join items b
+    on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+)"""
+
+
+def q_part_pagerank(sf_dir: str):
+    """PageRank centrality of parts on the co-ordered graph: 5 synchronous
+    power iterations, all as bucketed exchanges.  Oracle: the same graph
+    and 5 unrolled iterations in plain SQL."""
+    from entity_resolution_ray.stages.clustering import pagerank
+
+    return pagerank(_part_cooccurrence_edges(sf_dir),
+                    damping=PAGERANK_DAMPING, iters=PAGERANK_ITERS)
+
+
+Q_PART_PAGERANK_SQL = _pagerank_sql()
+
+
+# --- 61. triangle counting / local clustering coefficient ---------------------
+def q_part_triangles(sf_dir: str):
+    """Per-part triangle count + local clustering coefficient on the
+    co-ordered graph (degree-ordered wedge join — see
+    stages/clustering.triangle_counts).  Integer-exact vs the SQL 3-way
+    self-join oracle; cc is one correctly-rounded division + round6."""
+    from entity_resolution_ray.stages.clustering import triangle_counts
+
+    return triangle_counts(_part_cooccurrence_edges(sf_dir))
+
+
+Q_PART_TRIANGLES_SQL = f"""
+with {PART_EDGES_SQL_CTES},
+bi as (select src as u, dst as v from edges union all select dst, src from edges),
+deg as (select u, count(*)::bigint as d from bi group by u),
+tri as (
+  select e1.src as a, e1.dst as b, e2.dst as c
+  from edges e1
+  join edges e2 on e2.src = e1.dst
+  join edges e3 on e3.src = e1.src and e3.dst = e2.dst
+),
+corner as (
+  select a as node from tri
+  union all select b from tri
+  union all select c from tri
+),
+cnt as (select node, count(*)::bigint as t from corner group by node)
+select deg.u as node, deg.d as deg,
+       coalesce(cnt.t, 0) as triangles,
+       round(case when deg.d >= 2
+             then 2.0 * coalesce(cnt.t, 0) / (deg.d * (deg.d - 1.0))
+             else 0.0 end, 6) as cc
+from deg left join cnt on cnt.node = deg.u
+"""

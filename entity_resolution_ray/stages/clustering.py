@@ -640,3 +640,218 @@ def assign_clusters(docs_ds, edges_ds, mode: str = "labelprop",
     if small:
         return attach_labels_broadcast(docs_ds, labels, id_col=id_col)
     return attach_labels(docs_ds, labels, id_col=id_col)
+
+
+def pagerank(edges, damping: float = 0.85, iters: int = 5,
+             num_buckets: int = 8):
+    """Distributed PageRank over an undirected pair graph by synchronous
+    power iteration — the rank sibling of ``connected_components_labels``
+    (reference's graph tier stops at CC + GCN embeddings; rank centrality
+    is an engine-native §2.15 addition).
+
+    ``edges``: Dataset[src int64, dst int64], one row per distinct
+    undirected pair.  Every step is a bucketed exchange over tables that
+    are edge- or node-sized — no driver-side state beyond the node COUNT:
+
+      contrib  = hash_join(bi_edges, ranks)        # edge-sized
+      sums     = grouped_aggregate(contrib, dst)   # node-sized
+      ranks'   = hash_join(deg, sums) → (1-d)/n + d·Σ r/outdeg
+
+    Undirected means outdeg ≥ 1 and every node has an in-edge, so the
+    update join is inner and no dangling-mass term exists.  Each iteration
+    materializes (tiny tables — repartitioned small per the CC gotcha).
+    Float parity: the update is two correctly-rounded ops per edge plus a
+    sum whose order-dependent error (~1e-13 rel) vanishes at the round6
+    output, so an unrolled SQL restatement hash-matches.
+
+    Returns Dataset[node, rank_ppm] with rank_ppm = round6(rank · 1e6).
+    """
+    import pyarrow as pa
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.joins import hash_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([s, d]), pa.int64()),
+            "v": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    bi = edges.map_batches(both_dirs, batch_format="pyarrow") \
+              .repartition(4).materialize()
+    deg = grouped_aggregate(bi, "u", {"outdeg": ("v", "size")},
+                            num_buckets=num_buckets).repartition(4).materialize()
+    n = deg.count()
+    if n == 0:
+        return deg.map_batches(
+            lambda t: pa.table({"node": pa.array([], pa.int64()),
+                                "rank_ppm": pa.array([], pa.float64())}),
+            batch_format="pyarrow")
+    init = 1.0 / n
+    base = (1.0 - damping) / n
+
+    def seed(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "r", pa.array(np.full(len(t), init, np.float64)))
+
+    state = deg.map_batches(seed, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        contrib = hash_join(bi, state, on="u", num_buckets=num_buckets)
+
+        def to_contrib(t: pa.Table) -> pa.Table:
+            r = t["r"].to_numpy(zero_copy_only=False)
+            od = t["outdeg"].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table({"u": t["v"],
+                             "c": pa.array(r / od, pa.float64())})
+
+        sums = grouped_aggregate(
+            contrib.map_batches(to_contrib, batch_format="pyarrow"),
+            "u", {"s": ("c", "sum")}, num_buckets=num_buckets)
+        joined = hash_join(deg, sums, on="u", num_buckets=num_buckets)
+
+        def update(t: pa.Table) -> pa.Table:
+            s = t["s"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "u": t["u"], "outdeg": t["outdeg"],
+                "r": pa.array(base + damping * s, pa.float64()),
+            })
+
+        state = joined.map_batches(update, batch_format="pyarrow") \
+                      .repartition(4).materialize()
+
+    def finish(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False) * 1e6
+        return pa.table({
+            "node": t["u"],
+            "rank_ppm": pa.array(np.floor(r * 1e6 + 0.5) / 1e6, pa.float64()),
+        })
+
+    return state.map_batches(finish, batch_format="pyarrow")
+
+
+def triangle_counts(edges, num_buckets: int = 16):
+    """Per-node triangle counts and local clustering coefficients on an
+    undirected graph, by degree-ordered wedge join (the node-iterator with
+    rank orientation of Schank & Wagner 2005 / Latapy 2008).
+
+    Orientation lo→hi by (degree, node) rank caps a node's out-degree at
+    O(√E), so wedge generation — the quadratic step of naïve triangle
+    counting — emits Σ outdeg² = O(E^1.5) rows instead of Σ deg² (which a
+    single celebrity node would blow up).  Every step is a bucketed
+    exchange: degree fit, two rank joins, per-bucket wedge triu, a
+    two-column hash join of wedges against oriented edges (each triangle
+    matches exactly once), and a corner-count aggregate.
+
+    Returns Dataset[node, deg, triangles, cc] with cc = round6 of
+    2T / (deg·(deg−1)) (0 when deg < 2) — a single correctly-rounded
+    division, so the SQL oracle is integer-exact up to the final round.
+    """
+    import pyarrow as pa
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.joins import hash_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([s, d]), pa.int64()),
+            "v": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    bi = edges.map_batches(both_dirs, batch_format="pyarrow")
+    deg = grouped_aggregate(bi, "u", {"deg": ("v", "size")},
+                            num_buckets=num_buckets).repartition(4).materialize()
+
+    def _rename(cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({new: t[old] for old, new in cols.items()})
+        return fn
+
+    d_src = deg.map_batches(_rename({"u": "src", "deg": "deg_src"}),
+                            batch_format="pyarrow")
+    d_dst = deg.map_batches(_rename({"u": "dst", "deg": "deg_dst"}),
+                            batch_format="pyarrow")
+    ed = hash_join(hash_join(edges, d_src, on="src", num_buckets=num_buckets),
+                   d_dst, on="dst", num_buckets=num_buckets)
+
+    def orient(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        ds_ = t["deg_src"].to_numpy(zero_copy_only=False)
+        dd = t["deg_dst"].to_numpy(zero_copy_only=False)
+        fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        return pa.table({
+            "lo": pa.array(np.where(fwd, s, d), pa.int64()),
+            "hi": pa.array(np.where(fwd, d, s), pa.int64()),
+            "hideg": pa.array(np.where(fwd, dd, ds_), pa.int64()),
+        })
+
+    oriented = ed.map_batches(orient, batch_format="pyarrow") \
+                 .repartition(4).materialize()
+
+    from entity_resolution_ray.stages.aggregate import _add_bucket
+
+    def wedge_bucket(b):
+        return _add_bucket(b, ["lo"], num_buckets)
+
+    bucketed = oriented.map_batches(wedge_bucket, batch_format="pandas")
+
+    def wedges_in_bucket(group) -> pa.Table:
+        outs_x, outs_y, outs_a = [], [], []
+        for apex, g in group.groupby("lo", sort=False):
+            if len(g) < 2:
+                continue
+            order = np.lexsort((g["hi"].to_numpy(), g["hideg"].to_numpy()))
+            nb = g["hi"].to_numpy()[order]
+            iu, ju = np.triu_indices(len(nb), 1)
+            outs_x.append(nb[iu])
+            outs_y.append(nb[ju])
+            outs_a.append(np.full(iu.size, apex, np.int64))
+        if not outs_x:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64()),
+                             "apex": pa.array([], pa.int64())})
+        return pa.table({
+            "x": pa.array(np.concatenate(outs_x), pa.int64()),
+            "y": pa.array(np.concatenate(outs_y), pa.int64()),
+            "apex": pa.array(np.concatenate(outs_a), pa.int64()),
+        })
+
+    wedges = bucketed.groupby("__bucket").map_groups(
+        wedges_in_bucket, batch_format="pandas")
+
+    closing = oriented.map_batches(
+        _rename({"lo": "x", "hi": "y"}), batch_format="pyarrow")
+    tri = hash_join(wedges, closing, on=["x", "y"], num_buckets=num_buckets)
+
+    def corners(t: pa.Table) -> pa.Table:
+        arrs = [t[c].to_numpy(zero_copy_only=False) for c in ("apex", "x", "y")]
+        return pa.table({"node": pa.array(np.concatenate(arrs), pa.int64())})
+
+    counts = grouped_aggregate(
+        tri.map_batches(corners, batch_format="pyarrow"),
+        "node", {"triangles": ("node", "size")}, num_buckets=num_buckets)
+
+    nodes = deg.map_batches(_rename({"u": "node", "deg": "deg"}),
+                            batch_format="pyarrow")
+    out = hash_join(nodes, counts, on="node", how="left",
+                    num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tr = pc.fill_null(t["triangles"], 0).to_numpy(zero_copy_only=False)
+        dg = t["deg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cc = np.where(dg >= 2, 2.0 * tr / (dg * (dg - 1.0)), 0.0)
+        return pa.table({
+            "node": t["node"], "deg": t["deg"],
+            "triangles": pa.array(tr.astype(np.int64), pa.int64()),
+            "cc": pa.array(np.floor(cc * 1e6 + 0.5) / 1e6, pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
