@@ -1081,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": R.q_events_range_join,
         "part_pagerank": R.q_part_pagerank,
         "part_triangles": R.q_part_triangles,
+        "weighted_price_percentiles": R.q_weighted_price_percentiles,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1237,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "events_range_join": R.Q_EVENTS_RANGE_JOIN_SQL,
         "part_pagerank": R.Q_PART_PAGERANK_SQL,
         "part_triangles": R.Q_PART_TRIANGLES_SQL,
+        "weighted_price_percentiles": R.Q_WEIGHTED_PRICE_PERCENTILES_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

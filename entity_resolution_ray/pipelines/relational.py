@@ -2880,3 +2880,42 @@ select deg.u as node, deg.d as deg,
              else 0.0 end, 6) as cc
 from deg left join cnt on cnt.node = deg.u
 """
+
+
+# --- 62. exact weighted percentiles (integer-exact threshold) -----------------
+def q_weighted_price_percentiles(sf_dir: str):
+    """Quantity-weighted quartiles of l_extendedprice per return flag: the
+    smallest price whose cumulative shipped QUANTITY reaches q of the
+    flag's total.  Thresholds compare den·cum ≥ num·tot in int64 (weights
+    are integral quantities), so engine and oracle agree bit-for-bit with
+    no float cumsum anywhere."""
+    from entity_resolution_ray.stages.analytics import grouped_weighted_percentiles
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice", "l_quantity"])
+    return grouped_weighted_percentiles(
+        li, "l_returnflag", "l_extendedprice", "l_quantity",
+        {"wp25": (1, 4), "wp50": (1, 2), "wp75": (3, 4)},
+    )
+
+
+Q_WEIGHTED_PRICE_PERCENTILES_SQL = """
+with w as (
+  select l_returnflag, l_extendedprice as v,
+         sum(l_quantity::bigint) as wt
+  from lineitem group by 1, 2
+),
+c as (
+  select l_returnflag, v,
+         sum(wt) over (partition by l_returnflag order by v) as cum,
+         sum(wt) over (partition by l_returnflag) as tot
+  from w
+)
+select l_returnflag,
+       min(case when 4 * cum >= tot then v end)      as wp25,
+       min(case when 2 * cum >= tot then v end)      as wp50,
+       min(case when 4 * cum >= 3 * tot then v end)  as wp75,
+       max(tot)::bigint                              as total_weight
+from c
+group by l_returnflag
+"""

@@ -660,3 +660,50 @@ def priority_sample(ds, key_col: str, weight_col: str, k: int):
         "rn": np.arange(1, len(sel) + 1, dtype=np.int64),
         "est_weight": _round_half_away(np.maximum(w, tau), 6),
     })
+
+
+def grouped_weighted_percentiles(ds, keys, value_col: str, weight_col: str,
+                                 quantiles: dict[str, tuple[int, int]],
+                                 num_buckets: int = 32):
+    """Exact WEIGHTED percentile per key (inverted-CDF definition): the
+    smallest value v with  Σ weight(≤v) ≥ q · Σ weight  — the weighted
+    complement of ``grouped_percentiles``.
+
+    ``quantiles`` maps output column → q as a RATIONAL (num, den): the
+    selection compares  den·cum ≥ num·tot  in int64, so with integer
+    weights the result is integer-exact — no float cumsum whose
+    summation-order ulps could flip a boundary row (the failure mode a
+    float q·total threshold would reintroduce).  Weights are cast to
+    int64; use a fixed-point scale upstream for fractional weights.
+
+    Scale shape: one shuffled row per distinct (key, value) pair (weights
+    pre-summed per pair inside ``grouped_aggregate``'s combiner), then a
+    per-key sort inside one bucket exchange — same tier as the exact
+    unweighted path.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def to_int_weight(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[keys + [value_col]].copy()
+        out["__w"] = batch[weight_col].to_numpy().astype(np.int64)
+        return out
+
+    sums = grouped_aggregate(
+        ds.map_batches(to_int_weight, batch_format="pandas"),
+        keys + [value_col], {"__wsum": ("__w", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(value_col, kind="mergesort")
+        v = g[value_col].to_numpy()
+        cum = g["__wsum"].to_numpy(np.int64).cumsum()
+        tot = int(cum[-1])
+        row = {k_: group[k_].iloc[0] for k_ in keys}
+        for name, (num, den) in quantiles.items():
+            idx = int(np.searchsorted(den * cum, num * tot, side="left"))
+            row[name] = v[min(idx, len(v) - 1)]
+        row["total_weight"] = tot
+        return pd.DataFrame([row])
+
+    return sums.groupby(keys).map_groups(per_key, batch_format="pandas")
