@@ -2919,3 +2919,44 @@ select l_returnflag,
 from c
 group by l_returnflag
 """
+
+
+# --- 63. asymmetric containment pairs (Broder) --------------------------------
+WINNOW_CONTAIN_TH = 0.6
+
+
+def q_winnow_containment(sf_dir: str):
+    """Directed containment pairs over winnowing fingerprints: catches a
+    short document wholly quoted inside a long one, where symmetric jaccard
+    stays small.  Both directed ratios emitted; pair kept when either
+    reaches the threshold.  See stages/dedup.winnow_containment_pairs."""
+    from entity_resolution_ray.stages.dedup import winnow_containment_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = winnow_containment_pairs(ds, threshold=WINNOW_CONTAIN_TH,
+                                   max_df=WINNOW_MAX_DF)
+    return out.select_columns(["src", "dst", "src_in_dst", "dst_in_src"])
+
+
+Q_WINNOW_CONTAINMENT_SQL = f"""
+with fp as ({Q_WINNOW_FINGERPRINTS_SQL}),
+keep as (
+  select fingerprint from fp group by fingerprint
+  having count(*) <= {WINNOW_MAX_DF}
+),
+cold as (select fp.* from fp semi join keep using (fingerprint)),
+n as (select doc_id, count(*) as n from cold group by doc_id),
+inter as (
+  select a.doc_id as src, b.doc_id as dst, count(*) as sh
+  from cold a join cold b
+    on a.fingerprint = b.fingerprint and a.doc_id < b.doc_id
+  group by 1, 2
+)
+select src, dst,
+       round(sh / na.n, 6) as src_in_dst,
+       round(sh / nb.n, 6) as dst_in_src
+from inter
+join n na on na.doc_id = src
+join n nb on nb.doc_id = dst
+where greatest(sh / na.n, sh / nb.n) >= {WINNOW_CONTAIN_TH}
+"""

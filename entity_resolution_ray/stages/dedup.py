@@ -552,26 +552,13 @@ def embedding_neardup_lsh(
     )
 
 
-def winnow_neardup_pairs(ds, threshold: float = 0.2, shingle: int = 3,
-                         window: int = 4, max_df: int = 64,
-                         concurrency=(1, 8)):
-    """MOSS-style near-dup pairs: jaccard over winnowing-fingerprint sets.
-
-    Reference analogue: the repo's shingle/minhash near-dup tier
-    (``am_combiner``'s similarity tooling) proposes candidates from shared
-    text features; winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003) keeps
-    ~1/window of the gram hashes while guaranteeing any run of
-    ``shingle + window - 1`` shared words still collides, so the candidate
-    join is dense where it matters and tiny elsewhere.
-
-    Scale shape: fingerprints seen in more than ``max_df`` documents are
-    dropped BEFORE pair generation (the MOSS index's stop-gram guard) —
-    every surviving fingerprint bucket emits ≤ C(max_df, 2) pairs, so the
-    exchange is bounded regardless of how common a phrase is.  Similarity
-    is the jaccard of the PRUNED fingerprint sets on both sides (set sizes
-    are recomputed after the prune so the measure stays a true jaccard).
-    Everything is bit-reproducible in SQL (md5-lower-64 gram hash).
-    """
+def _winnow_pair_stats(ds, shingle: int, window: int, max_df: int,
+                       concurrency=(1, 8)):
+    """Shared winnowing candidate chain: fingerprints → stop-gram prune
+    (df > max_df dropped BEFORE pair generation, so every surviving bucket
+    emits ≤ C(max_df, 2) pairs) → per-pair shared counts joined with both
+    pruned set sizes.  Consumed by the jaccard (``winnow_neardup_pairs``)
+    and containment (``winnow_containment_pairs``) scorers."""
     from entity_resolution_ray.stages.aggregate import grouped_aggregate
     from entity_resolution_ray.stages.blocking import grouped_pairs
     from entity_resolution_ray.stages.joins import hash_join, key_filter_join
@@ -605,7 +592,27 @@ def winnow_neardup_pairs(ds, threshold: float = 0.2, shingle: int = 3,
         lambda t: pa.table({"dst": t["doc_id"], "n_dst": t["n_fp"]}),
         batch_format="pyarrow",
     )
-    j = hash_join(hash_join(shared, n_src, on="src"), n_dst, on="dst")
+    return hash_join(hash_join(shared, n_src, on="src"), n_dst, on="dst")
+
+
+def winnow_neardup_pairs(ds, threshold: float = 0.2, shingle: int = 3,
+                         window: int = 4, max_df: int = 64,
+                         concurrency=(1, 8)):
+    """MOSS-style near-dup pairs: jaccard over winnowing-fingerprint sets.
+
+    Reference analogue: the repo's shingle/minhash near-dup tier
+    (``am_combiner``'s similarity tooling) proposes candidates from shared
+    text features; winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003) keeps
+    ~1/window of the gram hashes while guaranteeing any run of
+    ``shingle + window - 1`` shared words still collides, so the candidate
+    join is dense where it matters and tiny elsewhere.
+
+    Similarity is the jaccard of the PRUNED fingerprint sets on both sides
+    (set sizes are recomputed after the prune so the measure stays a true
+    jaccard).  Everything is bit-reproducible in SQL (md5-lower-64 gram
+    hash).  Scale shape: see ``_winnow_pair_stats``.
+    """
+    j = _winnow_pair_stats(ds, shingle, window, max_df, concurrency)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         sh = batch["shared"].to_numpy(np.float64)
@@ -616,6 +623,36 @@ def winnow_neardup_pairs(ds, threshold: float = 0.2, shingle: int = 3,
         out = batch[["src", "dst"]].copy()
         out["similarity"] = np.round(sim, 6)
         return out[sim >= threshold]
+
+    return j.map_batches(score, batch_format="pandas")
+
+
+def winnow_containment_pairs(ds, threshold: float = 0.6, shingle: int = 3,
+                             window: int = 4, max_df: int = 64,
+                             concurrency=(1, 8)):
+    """ASYMMETRIC containment pairs (Broder 1997, §2: r(A,B) = |S(A)∩S(B)|
+    / |S(A)|) over winnowing fingerprints: flags subset/quotation
+    duplication — a short doc wholly contained in a long one — which the
+    symmetric jaccard tier structurally misses (|A∩B|/|A∪B| stays small
+    when |B| ≫ |A| even at full containment).
+
+    Emits one row per candidate pair whose containment in EITHER direction
+    reaches ``threshold``, with both directed scores (src_in_dst =
+    shared/|src|, dst_in_src = shared/|dst|) — each a single
+    correctly-rounded int÷int division, identical in SQL.  Candidate
+    generation and pruning are shared with ``winnow_neardup_pairs``
+    (``_winnow_pair_stats``).
+    """
+    j = _winnow_pair_stats(ds, shingle, window, max_df, concurrency)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = batch["shared"].to_numpy(np.float64)
+        c_src = sh / batch["n_src"].to_numpy(np.float64)
+        c_dst = sh / batch["n_dst"].to_numpy(np.float64)
+        out = batch[["src", "dst"]].copy()
+        out["src_in_dst"] = np.round(c_src, 6)
+        out["dst_in_src"] = np.round(c_dst, 6)
+        return out[np.maximum(c_src, c_dst) >= threshold]
 
     return j.map_batches(score, batch_format="pandas")
 
