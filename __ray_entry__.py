@@ -1083,6 +1083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_triangles": R.q_part_triangles,
         "weighted_price_percentiles": R.q_weighted_price_percentiles,
         "winnow_containment": R.q_winnow_containment,
+        "user_growth": R.q_user_growth,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1241,6 +1242,7 @@ def oracle_sql() -> dict[str, str]:
         "part_triangles": R.Q_PART_TRIANGLES_SQL,
         "weighted_price_percentiles": R.Q_WEIGHTED_PRICE_PERCENTILES_SQL,
         "winnow_containment": R.Q_WINNOW_CONTAINMENT_SQL,
+        "user_growth": R.Q_USER_GROWTH_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

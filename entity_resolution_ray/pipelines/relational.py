@@ -2960,3 +2960,67 @@ join n na on na.doc_id = src
 join n nb on nb.doc_id = dst
 where greatest(sh / na.n, sh / nb.n) >= {WINNOW_CONTAIN_TH}
 """
+
+
+# --- 64. growth accounting: new / returning / cumulative users ----------------
+def q_user_growth(sf_dir: str):
+    """Daily growth accounting: first-seen date per user (distributed min),
+    new vs returning split of each day's active users, and the cumulative
+    distinct-user count as a running sum of new_users.  The day-level
+    result is TIME-DIMENSION-sized (bounded, unlike the user dimension),
+    so the final running sum runs in one partition by design; everything
+    user-proportional stays in bucketed exchanges."""
+    from entity_resolution_ray.stages.analytics import distinct_count
+    from entity_resolution_ray.stages.joins import hash_join
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(batch["ts"], unit="day"),
+            "user_id": batch["user_id"],
+        })
+
+    days = ds.map_batches(add_day, batch_format="pyarrow")
+    first_seen = grouped_aggregate(days, "user_id", {"d0": ("day", "min")})
+    new_u = grouped_aggregate(
+        first_seen, "d0", {"new_users": ("user_id", "size")}
+    ).map_batches(
+        lambda t: pa.table({"day": t["d0"], "new_users": t["new_users"]}),
+        batch_format="pyarrow",
+    )
+    active = distinct_count(days, ["day"], "user_id", "active_users")
+    j = hash_join(active, new_u, on="day", how="left", num_buckets=8)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch.sort_values("day", kind="mergesort").reset_index(drop=True)
+        new = b["new_users"].fillna(0).to_numpy(np.int64)
+        act = b["active_users"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "day": b["day"],
+            "new_users": new,
+            "active_users": act,
+            "returning_users": act - new,
+            "cum_users": np.cumsum(new),
+        })
+
+    return j.repartition(1).map_batches(finish, batch_format="pandas")
+
+
+Q_USER_GROWTH_SQL = """
+with days as (select date_trunc('day', ts) as day, user_id from events),
+first_seen as (select user_id, min(day) as d0 from days group by 1),
+new_u as (
+  select d0 as day, count(*)::bigint as new_users from first_seen group by 1
+),
+active as (
+  select day, count(distinct user_id)::bigint as active_users
+  from days group by 1
+)
+select a.day,
+       coalesce(n.new_users, 0) as new_users,
+       a.active_users,
+       a.active_users - coalesce(n.new_users, 0) as returning_users,
+       (sum(coalesce(n.new_users, 0)) over (order by a.day))::bigint as cum_users
+from active a left join new_u n on n.day = a.day
+"""
