@@ -1084,6 +1084,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_price_percentiles": R.q_weighted_price_percentiles,
         "winnow_containment": R.q_winnow_containment,
         "user_growth": R.q_user_growth,
+        "segment_profile": R.q_segment_profile,
+        "price_zscores": R.q_price_zscores,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1243,6 +1245,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_price_percentiles": R.Q_WEIGHTED_PRICE_PERCENTILES_SQL,
         "winnow_containment": R.Q_WINNOW_CONTAINMENT_SQL,
         "user_growth": R.Q_USER_GROWTH_SQL,
+        "segment_profile": R.Q_SEGMENT_PROFILE_SQL,
+        "price_zscores": R.Q_PRICE_ZSCORES_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

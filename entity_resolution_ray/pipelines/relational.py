@@ -3024,3 +3024,124 @@ select a.day,
        (sum(coalesce(n.new_users, 0)) over (order by a.day))::bigint as cum_users
 from active a left join new_u n on n.day = a.day
 """
+
+
+# --- 65. categorical profile: mode + Shannon entropy per key ------------------
+def q_segment_profile(sf_dir: str):
+    """Per-nation customer-segment profile: distinct-customer count, the
+    modal market segment (deterministic tie-break: smallest segment string
+    among equal counts), and the Shannon entropy (nats) of the segment
+    distribution.  Mode and entropy both ride the (key, category) count
+    table — one combiner-merged exchange, categorical-cardinality-sized.
+    Entropy terms are p·ln(p) with p an exact integer ratio; the summation
+    is per-key over ≤ |segments| terms, so round6 absorbs order ulps."""
+    from entity_resolution_ray.stages.aggregate import _add_bucket
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_mktsegment"])
+    counts = grouped_aggregate(
+        cust, ["c_nationkey", "c_mktsegment"],
+        {"n": ("c_mktsegment", "size")}, num_buckets=16,
+    )
+
+    def profile(group: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, g in group.groupby("c_nationkey", sort=False):
+            n = g["n"].to_numpy(np.int64)
+            tot = int(n.sum())
+            p = n / float(tot)
+            ent = -(p * np.log(p)).sum()
+            segs = g["c_mktsegment"].to_numpy()
+            best = segs[np.lexsort((segs, -n))[0]]
+            rows.append({
+                "c_nationkey": key, "n_customers": tot,
+                "mode_segment": best,
+                "segment_entropy": float(np.floor(ent * 1e6 + 0.5) / 1e6),
+            })
+        out = pd.DataFrame(rows)
+        # dict-built frames promote the key to int64; pin the source dtype
+        out["c_nationkey"] = out["c_nationkey"].astype(
+            group["c_nationkey"].dtype)
+        return out
+
+    bucketed = counts.map_batches(
+        lambda b: _add_bucket(b, ["c_nationkey"], 8), batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        profile, batch_format="pandas")
+
+
+Q_SEGMENT_PROFILE_SQL = """
+with c as (
+  select c_nationkey, c_mktsegment, count(*)::bigint as n
+  from customer group by 1, 2
+),
+tot as (select c_nationkey, sum(n)::bigint as tot from c group by 1)
+select c.c_nationkey,
+       max(tot.tot) as n_customers,
+       first(c.c_mktsegment order by c.n desc, c.c_mktsegment) as mode_segment,
+       round(-sum((c.n / tot.tot::double) * ln(c.n / tot.tot::double)), 6)
+         as segment_entropy
+from c join tot on tot.c_nationkey = c.c_nationkey
+group by c.c_nationkey
+"""
+
+
+# --- 66. per-group z-score standardization (two-pass stable moments) ----------
+def q_price_zscores(sf_dir: str):
+    """Row-level z-scores of l_extendedprice within each return flag — the
+    feature-standardization stage of an ML pipeline, as two broadcast
+    passes: (1) group means (combiner-merged), (2) group Σ(x−μ)² — the
+    TWO-PASS variance: the naïve Σx² − nμ² form cancels ~8 digits at these
+    magnitudes and would break round6 parity with SQL's numerically stable
+    stddev_samp — then a final streaming map with the tiny (flag → μ, σ)
+    table carried in the closure.  Driver state is group-cardinality-sized
+    (3 rows); the corpus-sized table never leaves streaming map_batches."""
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                        "l_extendedprice"])
+
+    mu_df = grouped_aggregate(
+        li, "l_returnflag",
+        {"mu": ("l_extendedprice", "mean"), "cnt": ("l_extendedprice", "count")},
+        num_buckets=4,
+    ).to_pandas()
+    mu = dict(zip(mu_df["l_returnflag"], mu_df["mu"]))
+    cnt = dict(zip(mu_df["l_returnflag"], mu_df["cnt"].astype(int)))
+
+    def ss_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("l_returnflag", sort=False)["l_extendedprice"]
+        rows = []
+        for k, v in g:
+            d = v.to_numpy(np.float64) - mu[k]
+            rows.append({"l_returnflag": k, "ss": float((d * d).sum())})
+        return pd.DataFrame(rows, columns=["l_returnflag", "ss"])
+
+    ss_df = grouped_aggregate(
+        li.map_batches(ss_partial, batch_format="pandas"),
+        "l_returnflag", {"ss": ("ss", "sum")}, num_buckets=4,
+    ).to_pandas()
+    sigma = {k: float(np.sqrt(s / (cnt[k] - 1)))
+             for k, s in zip(ss_df["l_returnflag"], ss_df["ss"])}
+
+    def z(batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch["l_returnflag"].map(mu).to_numpy(np.float64)
+        s = batch["l_returnflag"].map(sigma).to_numpy(np.float64)
+        zv = (batch["l_extendedprice"].to_numpy(np.float64) - m) / s
+        return pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"],
+            "l_linenumber": batch["l_linenumber"],
+            "l_returnflag": batch["l_returnflag"],
+            # sign-aware half-away rounding (z is signed; plain
+            # floor(x+0.5) is half-UP and would diverge from SQL at ties)
+            "z_price": np.sign(zv) * np.floor(np.abs(zv) * 1e6 + 0.5) / 1e6,
+        })
+
+    return li.map_batches(z, batch_format="pandas")
+
+
+Q_PRICE_ZSCORES_SQL = """
+select l_orderkey, l_linenumber, l_returnflag,
+       round((l_extendedprice - avg(l_extendedprice) over w)
+             / stddev_samp(l_extendedprice) over w, 6) as z_price
+from lineitem
+window w as (partition by l_returnflag)
+"""
