@@ -982,6 +982,173 @@ join dob b on b.doc_id = p.dst
 """
 
 
+def _er_scored_pairs_canon(sf_dir: str):
+    """Flagship SCORING FORMULA under one SQL oracle, scored by the REAL
+    ``PairScorer`` actor stage (stages/scoring.py): exact token-TF cosine
+    (vocabulary-dim TF — SQL-joinable, unlike the production blake2b-hashed
+    TF, which stays pytest/F1-verified), shared-distinct-token adjacency
+    weight, first-3-token names through the production batched
+    Jaro-Winkler kernel (bit-identical to DuckDB, commit 79ce607),
+    year-token DOB negative evidence, and the production
+    clip(w,0,3)/3 boost + 0.1·jw + strict >0.6 accept.  Complements
+    ``er_pair_weights`` (which pins pair GENERATION on the real featured
+    table): together the whole scoring chain below the vectors is
+    SQL-pinned.  Blocks are first-2-token keys (bounded: ≤14 docs/block at
+    sf0.1), pairs are full in-block triu — no caps, so the SQL join is an
+    exact restatement."""
+    import pandas as pd
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.aggregate import _add_bucket
+    from entity_resolution_ray.stages.scoring import score_pairs
+    from entity_resolution_ray.functions.text import tokenize_words
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=8,
+    )
+    year_re = re.compile(r"^(19|20)[0-9]{2}$")
+
+    def featurize(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = tokenize_words(text or "")
+            if not toks:
+                continue  # SQL: len(t) > 0 filter
+            from collections import Counter
+
+            tf = Counter(toks)
+            norm = float(np.sqrt(sum(c * c for c in tf.values())))
+            years = sorted({int(t) for t in tf if year_re.match(t)})
+            rows.append({
+                "doc_id": int(doc_id),
+                "block_key": " ".join(toks[:2]),
+                "name": " ".join(toks[:3]),
+                "tf": dict(tf),
+                "norm": norm,
+                "dob": years,
+            })
+        return pd.DataFrame(
+            rows, columns=["doc_id", "block_key", "name", "tf", "norm", "dob"])
+
+    feat = ds.map_batches(featurize, batch_format="pandas")
+    bucketed = feat.map_batches(
+        lambda b: _add_bucket(b, ["block_key"], 16), batch_format="pandas")
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = ["block_key", "src", "dst", "weight", "cosine",
+                "src_name", "dst_name", "src_dob", "dst_dob", "media_cos"]
+        rows = []
+        for key, g in group.groupby("block_key", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort")
+            recs = g.to_dict("records")
+            m = len(recs)
+            for i in range(m):
+                a = recs[i]
+                for j in range(i + 1, m):
+                    b = recs[j]
+                    ta, tb = a["tf"], b["tf"]
+                    if len(tb) < len(ta):
+                        ta, tb = tb, ta
+                    shared = [t for t in ta if t in tb]
+                    dot = float(sum(a["tf"][t] * b["tf"][t] for t in shared))
+                    rows.append({
+                        "block_key": key,
+                        "src": a["doc_id"], "dst": b["doc_id"],
+                        "weight": len(shared),
+                        "cosine": dot / (a["norm"] * b["norm"]),
+                        "src_name": a["name"], "dst_name": b["name"],
+                        "src_dob": a["dob"], "dst_dob": b["dob"],
+                        "media_cos": 0.0,
+                    })
+        return pd.DataFrame(rows, columns=cols)
+
+    pairs = bucketed.groupby("__bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas")
+    scored = score_pairs(pairs)
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        r6 = lambda x: np.floor(x.to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "block_key": batch["block_key"],
+            "src": batch["src"], "dst": batch["dst"],
+            "weight": batch["weight"].astype(np.int64),
+            "cosine": r6(batch["cosine"]),
+            "jw": r6(batch["jw"]),
+            "neg_dob": batch["neg_dob"].astype(bool),
+            "score": r6(batch["score"]),
+            "accepted": batch["accepted"].astype(bool),
+        })
+
+    return scored.map_batches(finish, batch_format="pandas")
+
+
+ER_SCORED_PAIRS_CANON_SQL = """
+with toks as (
+  select doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') as t
+  from documents
+),
+base as (
+  select doc_id,
+         array_to_string(t[1:2], ' ') as block_key,
+         array_to_string(t[1:3], ' ') as name,
+         t
+  from toks where len(t) > 0
+),
+tf as (
+  select doc_id, tok, count(*)::bigint as cnt
+  from (select doc_id, unnest(t) as tok from base) group by 1, 2
+),
+nrm as (select doc_id, sqrt(sum(cnt * cnt)) as nn from tf group by 1),
+yrs as (
+  select doc_id, min(tok::int) as ymin, max(tok::int) as ymax
+  from (select doc_id, unnest(t) as tok from base)
+  where regexp_matches(tok, '^(19|20)[0-9]{2}$')
+  group by doc_id
+),
+p as (
+  select a.doc_id as src, b.doc_id as dst, a.block_key,
+         a.name as src_name, b.name as dst_name
+  from base a join base b
+    on a.block_key = b.block_key and a.doc_id < b.doc_id
+),
+dotp as (
+  select p.src, p.dst,
+         sum(ta.cnt * tb.cnt)::double as dot, count(*)::bigint as shared
+  from p
+  join tf ta on ta.doc_id = p.src
+  join tf tb on tb.doc_id = p.dst and tb.tok = ta.tok
+  group by 1, 2
+),
+scored as (
+  select p.block_key, p.src, p.dst,
+         d.shared as weight,
+         d.dot / (na.nn * nb.nn) as cosine,
+         jaro_winkler_similarity(p.src_name, p.dst_name) as jw,
+         (ya.doc_id is not null and yb.doc_id is not null and
+          (case when ya.ymin <= yb.ymin then yb.ymin - ya.ymax
+                else ya.ymin - yb.ymax end) > 5) as neg_dob
+  from p
+  join dotp d on d.src = p.src and d.dst = p.dst
+  join nrm na on na.doc_id = p.src
+  join nrm nb on nb.doc_id = p.dst
+  left join yrs ya on ya.doc_id = p.src
+  left join yrs yb on yb.doc_id = p.dst
+)
+select block_key, src, dst, weight,
+       round(cosine, 6) as cosine,
+       round(jw, 6) as jw,
+       neg_dob,
+       round(1.0 * cosine + least(greatest(weight::double, 0.0), 3.0) / 3.0
+             + 0.1 * jw, 6) as score,
+       ((1.0 * cosine + least(greatest(weight::double, 0.0), 3.0) / 3.0
+         + 0.1 * jw) > 0.6 and not neg_dob) as accepted
+from scored
+"""
+
+
 def _er_clusters_split(sf_dir: str):
     """Flagship clusters re-split by DOB negative evidence: the full
     distributed splitter path (cluster-keyed cogroup of docs with their
@@ -1067,6 +1234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_canon": R.q_minhash_dedup_canon,
         "passage_dedup": R.q_passage_dedup,
         "er_pair_weights": _er_pair_weights,
+        "er_scored_pairs_canon": _er_scored_pairs_canon,
         "doc_terms": _doc_terms,
         "simhash_pairs": _simhash_pairs,
         "doc_keywords": _doc_keywords,
@@ -1180,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "er_pair_weights": ER_PAIR_WEIGHTS_SQL,
+        "er_scored_pairs_canon": ER_SCORED_PAIRS_CANON_SQL,
         "doc_terms": DOC_TERMS_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "segment_revenue": R.Q_SEGMENT_REVENUE_SQL,

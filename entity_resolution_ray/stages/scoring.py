@@ -97,7 +97,12 @@ class PairScorer:
         # pure-Python char loop (VERDICT r2 #4).
         from entity_resolution_ray.functions.text import jaro_winkler_batch
 
-        keys = batch["src_name"].str.cat(batch["dst_name"], sep="\x00")
+        # \x1f (unit separator), NOT \x00: numpy's fixed-width unicode
+        # treats NUL as padding, so a "\x00" sep silently vanished in the
+        # pandas str concat and every key partitioned to (a+b, "") — the JW
+        # channel scored 0 for all pairs (caught by er_scored_pairs_canon's
+        # SQL oracle, which computed the real jw)
+        keys = batch["src_name"].str.cat(batch["dst_name"], sep="\x1f")
         codes, uniques = pd.factorize(keys, sort=False)
         vals = np.empty(len(uniques), dtype=np.float64)
         miss_i: list[int] = []
@@ -105,7 +110,7 @@ class PairScorer:
         miss_b: list[str] = []
         cache = self._jw_cache
         for i, u in enumerate(uniques):
-            a, _, b = u.partition("\x00")
+            a, _, b = u.partition("\x1f")
             key = (a, b) if a <= b else (b, a)
             v = cache.get(key)
             if v is None:
