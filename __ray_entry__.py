@@ -1249,6 +1249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": R.q_events_range_join,
         "part_pagerank": R.q_part_pagerank,
         "part_triangles": R.q_part_triangles,
+        "part_kcore": R.q_part_kcore,
         "weighted_price_percentiles": R.q_weighted_price_percentiles,
         "winnow_containment": R.q_winnow_containment,
         "user_growth": R.q_user_growth,

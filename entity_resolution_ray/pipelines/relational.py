@@ -3145,3 +3145,18 @@ select l_orderkey, l_linenumber, l_returnflag,
 from lineitem
 window w as (partition by l_returnflag)
 """
+
+
+# --- 67. k-core decomposition (rows-only: data-dependent fixpoint) ------------
+KCORE_K = 4
+
+
+def q_part_kcore(sf_dir: str):
+    """Nodes of the co-ordered part graph surviving the 4-core peel, with
+    within-core degrees — the graph-tier densest-region filter (community
+    seeds, spam-ring detection).  Rows-only for the driver (fixpoint
+    iterations are SQL-inexpressible); exactness pinned by a brute-force
+    peel parity test."""
+    from entity_resolution_ray.stages.clustering import k_core
+
+    return k_core(_part_cooccurrence_edges(sf_dir), k=KCORE_K)

@@ -855,3 +855,64 @@ def triangle_counts(edges, num_buckets: int = 16):
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def k_core(edges, k: int = 3, num_buckets: int = 8, max_rounds: int = 100):
+    """k-core decomposition by synchronous peeling (Batagelj–Zaveršnik
+    semantics, bulk variant): repeatedly delete every node whose CURRENT
+    degree is below ``k`` until none remain; return the surviving nodes
+    with their within-core degree.
+
+    Each round is two bucketed exchanges over shrinking tables — a degree
+    aggregate and an anti semi-join of the edge list against the
+    below-threshold node set (key-only filter join: the peel set ships as
+    keys, never payload).  The driver holds one COUNT per round; round
+    count is bounded by the graph's degeneracy ordering depth (≪ nodes —
+    ``max_rounds`` is a runaway guard, not a tuning knob).
+
+    No SQL oracle: the fixpoint iteration count is data-dependent, which
+    recursive CTEs cannot express with aggregates — parity is pinned by a
+    brute-force peel in pytest instead (rows-only driver check).
+    """
+    import pyarrow as pa
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.joins import key_filter_join
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy(zero_copy_only=False)
+        d = t["dst"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "u": pa.array(np.concatenate([s, d]), pa.int64()),
+            "v": pa.array(np.concatenate([d, s]), pa.int64()),
+        })
+
+    bi = edges.map_batches(both_dirs, batch_format="pyarrow") \
+              .repartition(4).materialize()
+
+    for _ in range(max_rounds):
+        deg = grouped_aggregate(bi, "u", {"deg": ("v", "size")},
+                                num_buckets=num_buckets)
+        low = deg.filter(expr=f"deg < {k}").repartition(1).materialize()
+        if low.count() == 0:
+            out = deg.map_batches(
+                lambda t: pa.table({"node": t["u"],
+                                    "core_deg": t["deg"]}),
+                batch_format="pyarrow")
+            return out
+        low_keys = low.map_batches(
+            lambda t: pa.table({"u": t["u"]}), batch_format="pyarrow")
+        bi = key_filter_join(bi, low_keys, on="u", how="anti")
+        low_v = low.map_batches(
+            lambda t: pa.table({"v": t["u"]}), batch_format="pyarrow")
+        bi = key_filter_join(bi, low_v, on="v", how="anti") \
+            .repartition(4).materialize()
+        if bi.count() == 0:
+            # a TRANSFORMED empty dataset has no schema (gotcha) — return a
+            # source-backed empty table instead
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "core_deg": pa.array([], pa.int64())}))
+    raise RuntimeError(f"k_core did not converge in {max_rounds} rounds")

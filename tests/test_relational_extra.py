@@ -201,3 +201,42 @@ def test_passage_exact_dedup(ray_session):
     ).to_pandas().sort_values("doc_id")
     assert dup_only["n_kept"].tolist() == [1, 0]
     assert dup_only["clean_md5"].tolist() == [md5("xx yy"), md5("")]
+
+
+# --- k-core: distributed peel vs brute-force reference -----------------------
+
+def test_kcore_matches_bruteforce_peel(sf_dir):
+    mine = R.q_part_kcore(sf_dir).to_pandas()
+
+    # brute-force peel on the same co-occurrence graph
+    con = duckdb.connect()
+    con.execute(
+        f"create view lineitem as select * from '{sf_dir}/lineitem.parquet'")
+    edges = con.execute("""
+        with items as (select distinct l_orderkey, l_partkey from lineitem)
+        select distinct a.l_partkey as src, b.l_partkey as dst
+        from items a join items b
+          on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+    """).df()
+    adj: dict[int, set] = {}
+    for s, d in zip(edges["src"], edges["dst"]):
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    changed = True
+    while changed:
+        low = [n for n, nb in adj.items() if len(nb) < R.KCORE_K]
+        changed = bool(low)
+        for n in low:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    want = pd.DataFrame(
+        sorted((n, len(nb)) for n, nb in adj.items()),
+        columns=["node", "core_deg"])
+    got = mine.sort_values("node").reset_index(drop=True)
+    want = want.astype({"node": got["node"].dtype if len(got) else "int64",
+                        "core_deg": "int64"})
+    assert len(got) == len(want)
+    if len(got):
+        assert got["node"].tolist() == want["node"].tolist()
+        assert got["core_deg"].tolist() == want["core_deg"].tolist()
