@@ -1255,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_growth": R.q_user_growth,
         "segment_profile": R.q_segment_profile,
         "price_zscores": R.q_price_zscores,
+        "brand_price_regression": R.q_brand_price_regression,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1417,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         "user_growth": R.Q_USER_GROWTH_SQL,
         "segment_profile": R.Q_SEGMENT_PROFILE_SQL,
         "price_zscores": R.Q_PRICE_ZSCORES_SQL,
+        "brand_price_regression": R.Q_BRAND_PRICE_REGRESSION_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

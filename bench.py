@@ -121,6 +121,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("pricing_rollup", None),
         ("region_revenue", None),
         ("fuzzy_part_pairs", None),
+        # round-4 late additions (each ~1-3 s at sf0.1/32 CPUs)
+        ("doc_unigram_nll", None),
+        ("priority_sample", None),
+        ("events_range_join", None),
+        ("user_growth", None),
+        ("weighted_price_percentiles", None),
+        ("segment_profile", None),
+        ("price_zscores", None),
+        ("brand_price_regression", None),
     ]
     # scaling mode measures the headline wall only: secondaries at the low
     # CPU level would triple each repeat without informing the ratio

@@ -3160,3 +3160,75 @@ def q_part_kcore(sf_dir: str):
     from entity_resolution_ray.stages.clustering import k_core
 
     return k_core(_part_cooccurrence_edges(sf_dir), k=KCORE_K)
+
+
+# --- 68. grouped OLS regression (two-pass centered moments) -------------------
+def q_brand_price_regression(sf_dir: str):
+    """Per-brand OLS of extended price on quantity: slope, intercept, r².
+    Two passes like q_price_zscores — group means first (combiner-merged),
+    then CENTERED cross-moments Σ(x−x̄)(y−ȳ) / Σ(x−x̄)² / Σ(y−ȳ)² — because
+    the raw-moment form (nΣxy − ΣxΣy) cancels catastrophically at price
+    magnitudes and would break round6 parity with SQL's numerically stable
+    ``regr_*`` family.  Driver state is brand-cardinality-sized."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity",
+                                            "l_extendedprice"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    part = part.map_batches(
+        lambda t: pa.table({"l_partkey": t["p_partkey"],
+                            "p_brand": t["p_brand"]}),
+        batch_format="pyarrow")
+    # two consumers (means pass + moments pass): materialize once
+    j = hash_join(li, part, on="l_partkey", num_buckets=16).materialize()
+
+    means = grouped_aggregate(
+        j, "p_brand",
+        {"mx": ("l_quantity", "mean"), "my": ("l_extendedprice", "mean"),
+         "n": ("l_quantity", "count")},
+        num_buckets=8,
+    ).to_pandas()
+    mx = dict(zip(means["p_brand"], means["mx"]))
+    my = dict(zip(means["p_brand"], means["my"]))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for b, g in batch.groupby("p_brand", sort=False):
+            x = g["l_quantity"].to_numpy(np.float64) - mx[b]
+            y = g["l_extendedprice"].to_numpy(np.float64) - my[b]
+            rows.append({"p_brand": b, "sxy": float((x * y).sum()),
+                         "sxx": float((x * x).sum()),
+                         "syy": float((y * y).sum())})
+        return pd.DataFrame(rows, columns=["p_brand", "sxy", "sxx", "syy"])
+
+    mom = grouped_aggregate(
+        j.map_batches(partial, batch_format="pandas"),
+        "p_brand", {"sxy": ("sxy", "sum"), "sxx": ("sxx", "sum"),
+                    "syy": ("syy", "sum")},
+        num_buckets=8,
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        r6 = lambda v: np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+        b = batch["p_brand"]
+        slope = batch["sxy"].to_numpy() / batch["sxx"].to_numpy()
+        icept = (b.map(my).to_numpy(np.float64)
+                 - slope * b.map(mx).to_numpy(np.float64))
+        r2 = (batch["sxy"].to_numpy() ** 2
+              / (batch["sxx"].to_numpy() * batch["syy"].to_numpy()))
+        n = b.map(dict(zip(means["p_brand"], means["n"]))).to_numpy(np.int64)
+        return pd.DataFrame({
+            "p_brand": b, "n": n, "slope": r6(slope),
+            "intercept": r6(icept), "r2": r6(r2),
+        })
+
+    return mom.map_batches(finish, batch_format="pandas")
+
+
+Q_BRAND_PRICE_REGRESSION_SQL = """
+select p.p_brand,
+       count(*)::bigint as n,
+       round(regr_slope(l.l_extendedprice, l.l_quantity), 6) as slope,
+       round(regr_intercept(l.l_extendedprice, l.l_quantity), 6) as intercept,
+       round(regr_r2(l.l_extendedprice, l.l_quantity), 6) as r2
+from lineitem l join part p on p.p_partkey = l.l_partkey
+group by p.p_brand
+"""
