@@ -3232,3 +3232,53 @@ select p.p_brand,
 from lineitem l join part p on p.p_partkey = l.l_partkey
 group by p.p_brand
 """
+
+
+# --- 69. Markov transition counts (event-type bigrams per user) ---------------
+def q_event_transitions(sf_dir: str):
+    """Global (prev_type → next_type) transition counts over per-user event
+    sequences ordered by (ts, event_id) — the first-order Markov fit of a
+    clickstream.  Rides the sessionization shape: ONE user-hash bucket
+    shuffle, whole-bucket vectorized sort + shift (O(rows), not O(users)),
+    per-bucket partial counts, then a tiny |types|² global aggregate.
+    Integer-exact under SQL's lag() restatement."""
+    from entity_resolution_ray.stages.aggregate import _add_bucket
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id",
+                                          "event_type"])
+
+    def transitions_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        if n < 2:
+            return pd.DataFrame({"prev_type": [], "next_type": [], "n": []})
+        uid = g["user_id"].to_numpy()
+        et = g["event_type"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({"prev_type": et[:-1][same],
+                              "next_type": et[1:][same]})
+        out = pairs.groupby(["prev_type", "next_type"], sort=False) \
+                   .size().rename("n").reset_index()
+        return out
+
+    bucketed = ds.map_batches(
+        lambda b: _add_bucket(b, ["user_id"], 16), batch_format="pandas")
+    partials = bucketed.groupby("__bucket").map_groups(
+        transitions_bucket, batch_format="pandas")
+    return grouped_aggregate(
+        partials, ["prev_type", "next_type"], {"n": ("n", "sum")},
+        num_buckets=4,
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+select prev_type, next_type, count(*)::bigint as n
+from (
+  select lag(event_type) over (
+           partition by user_id order by ts, event_id) as prev_type,
+         event_type as next_type
+  from events
+)
+where prev_type is not null
+group by 1, 2
+"""
