@@ -3282,3 +3282,64 @@ from (
 where prev_type is not null
 group by 1, 2
 """
+
+
+# --- 70. HLL set-operation estimates (union / intersect / jaccard) ------------
+def q_approx_user_overlap(sf_dir: str):
+    """Approximate overlap of the purchase-user and error-user sets from
+    one HLL pass per side: |A|, |B|, |A∪B| (register max — HLL is closed
+    under union), |A∩B| (inclusion–exclusion), and the Jaccard estimate.
+    ±1.04/√4096 ≈ 1.6% per cardinality; rows-only for the driver (sketch
+    estimates have no SQL restatement), error-pinned by pytest against
+    the exact DuckDB counts."""
+    from entity_resolution_ray.stages.sketches import hll_set_ops
+
+    ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    a = ev.filter(expr="event_type == 'purchase'").select_columns(["user_id"])
+    b = ev.filter(expr="event_type == 'error'").select_columns(["user_id"])
+    return hll_set_ops(a, b, "user_id", p=12)
+
+
+# --- 71. order-insensitive table digest (validation checksum) -----------------
+def q_orders_digest(sf_dir: str):
+    """One-row content checksum of the orders table: row count plus the
+    wrapping uint64 SUM of per-row md5-lower-64 hashes — order-insensitive
+    (addition commutes), partition-insensitive (partials merge by adding),
+    and bit-exact under SQL.  The validation primitive for resumable
+    writes: digest(partition union) = Σ digest(partition), so a resumed
+    output can be verified against the source without re-sorting anything.
+    Only integer/string columns feed the row string (float→varchar
+    rendering differs across engines)."""
+    from entity_resolution_ray.utils.hashing import md5_hash64_array
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = [f"{k}|{c}|{s}" for k, c, s in zip(
+            batch["o_orderkey"].to_pylist(),
+            batch["o_custkey"].to_pylist(),
+            batch["o_orderstatus"].to_pylist())]
+        h = md5_hash64_array(rows)
+        return pa.table({
+            "part_sum": pa.array([int(h.sum(dtype=np.uint64))], pa.uint64()),
+            "n": pa.array([len(rows)], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    total = np.uint64(0)
+    n = 0
+    for r in parts:  # fixed-size partials: one (uint64, int64) pair per block
+        total += np.uint64(r["part_sum"])
+        n += r["n"]
+    return pd.DataFrame([{"n_rows": n, "digest": str(int(total))}])
+
+
+Q_ORDERS_DIGEST_SQL = """
+select count(*)::bigint as n_rows,
+       ((sum(md5_number_lower(
+            o_orderkey::varchar || '|' || o_custkey::varchar || '|'
+            || o_orderstatus)::hugeint)
+         % 18446744073709551616)::varchar) as digest
+from orders
+"""

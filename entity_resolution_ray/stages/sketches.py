@@ -232,3 +232,45 @@ def heavy_hitters(
         lambda f: f.assign(__g=0), batch_format="pandas"
     )
     return tagged.groupby("__g").map_groups(finish, batch_format="pandas")
+
+
+def hll_set_ops(ds_a, ds_b, value_col: str, p: int = 12):
+    """Approximate |A|, |B|, |A∪B|, |A∩B|, and Jaccard between two value
+    sets from ONE pass over each side — HLL's closure under union makes
+    the union estimate a register-wise max of the two sketches, and the
+    intersection follows by inclusion–exclusion (|A|+|B|−|A∪B|).
+
+    Standard error: ~1.04/√m on each cardinality; the intersection
+    inherits the absolute errors of all three terms, so small overlaps of
+    large sets are noisy — the documented trade (use the exact
+    ``brand_set_ops`` tier when the sets are shuffle-able).  Returns a
+    one-row pandas DataFrame; each side's sketch is built distributed
+    (fixed 2^p bytes per block) and only the two register arrays reach
+    the driver.
+    """
+    m = 1 << p
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            batch[value_col], index=False).to_numpy(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rho = _rho(h, p)
+        regs = np.zeros(m, np.uint8)
+        np.maximum.at(regs, idx, rho)
+        return pd.DataFrame({"__regs": [regs.tobytes()]})
+
+    def sketch(ds) -> np.ndarray:
+        rows = ds.map_batches(partial, batch_format="pandas").take_all()
+        regs = np.zeros(m, np.uint8)
+        for r in rows:
+            regs = np.maximum(regs, np.frombuffer(r["__regs"], np.uint8))
+        return regs
+
+    ra, rb = sketch(ds_a), sketch(ds_b)
+    na, nb = _estimate(ra), _estimate(rb)
+    nu = _estimate(np.maximum(ra, rb))
+    ni = max(na + nb - nu, 0)
+    return pd.DataFrame([{
+        "n_a": na, "n_b": nb, "n_union": nu, "n_intersect": ni,
+        "jaccard_est": round(ni / nu, 6) if nu else 0.0,
+    }])

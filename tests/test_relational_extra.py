@@ -77,6 +77,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     (E._er_scored_pairs_canon, E.ER_SCORED_PAIRS_CANON_SQL),
     (R.q_brand_price_regression, R.Q_BRAND_PRICE_REGRESSION_SQL),
     (R.q_event_transitions, R.Q_EVENT_TRANSITIONS_SQL),
+    (R.q_orders_digest, R.Q_ORDERS_DIGEST_SQL),
 ], ids=["region_revenue", "fuzzy_part_pairs", "brand_set_ops",
         "props_extract", "orders_below_max", "type_brand_list",
         "priority_share", "orders_events_daily", "price_corr",
@@ -84,7 +85,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "customer_upsert", "label_centroids", "stratified_docs",
         "winnow_fingerprints", "winnow_neardup", "phonetic_codes",
         "doc_repetition", "decontaminate", "jw_part_pairs",
-        "minhash_dedup_canon", "doc_unigram_nll", "priority_sample", "events_range_join", "part_pagerank", "part_triangles", "weighted_price_percentiles", "winnow_containment", "user_growth", "segment_profile", "price_zscores", "er_scored_pairs_canon", "brand_price_regression", "event_transitions"])
+        "minhash_dedup_canon", "doc_unigram_nll", "priority_sample", "events_range_join", "part_pagerank", "part_triangles", "weighted_price_percentiles", "winnow_containment", "user_growth", "segment_profile", "price_zscores", "er_scored_pairs_canon", "brand_price_regression", "event_transitions", "orders_digest"])
 def test_query_matches_oracle(sf_dir, fn, sql):
     mine = fn(sf_dir)
     mine = mine.to_pandas() if hasattr(mine, "to_pandas") else mine
@@ -242,3 +243,27 @@ def test_kcore_matches_bruteforce_peel(sf_dir):
     if len(got):
         assert got["node"].tolist() == want["node"].tolist()
         assert got["core_deg"].tolist() == want["core_deg"].tolist()
+
+
+# --- HLL set-op estimates vs exact counts ------------------------------------
+
+def test_hll_set_ops_error_bounds(sf_dir):
+    est = R.q_approx_user_overlap(sf_dir).iloc[0]
+    con = duckdb.connect()
+    con.execute(
+        f"create view events as select * from '{sf_dir}/events.parquet'")
+    exact = con.execute("""
+        with a as (select distinct user_id from events where event_type='purchase'),
+             b as (select distinct user_id from events where event_type='error')
+        select (select count(*) from a) na,
+               (select count(*) from b) nb,
+               (select count(*) from (select * from a union select * from b)) nu,
+               (select count(*) from (select * from a intersect select * from b)) ni
+    """).df().iloc[0]
+    # ±1.6% standard error at p=12 -> 5σ bound on each cardinality; the
+    # intersection inherits all three absolute errors
+    for col, key in (("n_a", "na"), ("n_b", "nb"), ("n_union", "nu")):
+        assert abs(est[col] - exact[key]) <= max(0.08 * exact[key], 10), (
+            col, est[col], exact[key])
+    assert abs(est["n_intersect"] - exact["ni"]) <= max(
+        0.08 * exact["nu"], 20)
