@@ -1259,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": R.q_event_transitions,
         "approx_user_overlap": R.q_approx_user_overlap,
         "orders_digest": R.q_orders_digest,
+        "orders_diff": R.q_orders_diff,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1424,6 +1425,7 @@ def oracle_sql() -> dict[str, str]:
         "brand_price_regression": R.Q_BRAND_PRICE_REGRESSION_SQL,
         "event_transitions": R.Q_EVENT_TRANSITIONS_SQL,
         "orders_digest": R.Q_ORDERS_DIGEST_SQL,
+        "orders_diff": R.Q_ORDERS_DIFF_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

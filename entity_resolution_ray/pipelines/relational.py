@@ -3343,3 +3343,64 @@ select count(*)::bigint as n_rows,
          % 18446744073709551616)::varchar) as digest
 from orders
 """
+
+
+# --- 72. keyed table diff (CDC / anti-entropy) --------------------------------
+def q_orders_diff(sf_dir: str):
+    """Diff the orders table against a deterministically perturbed copy
+    (every orderkey ≡ 0 mod 101 deleted, ≡ 0 mod 97 status-rewritten,
+    ≡ 1 mod 103 newly added with a shifted key) — the CDC primitive:
+    full-outer hash join + null-safe column compare, delta-sized output.
+    See stages/joins.table_diff."""
+    from entity_resolution_ray.stages.joins import table_diff
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        keep = k % 101 != 0
+        b = batch.filter(pa.array(keep))
+        k2 = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        status = np.asarray(b["o_orderstatus"].to_pylist(), dtype=object)
+        status[k2 % 97 == 0] = "X"
+        add = k2 % 103 == 1
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.concatenate([k2, k2[add] + 1_000_000_000]), pa.int64()),
+            "o_custkey": pa.concat_arrays(
+                [pa.array(b["o_custkey"].to_numpy(zero_copy_only=False),
+                          pa.int64()),
+                 pa.array(b["o_custkey"].to_numpy(
+                     zero_copy_only=False)[add], pa.int64())]),
+            "o_orderstatus": pa.array(
+                np.concatenate([status, np.repeat("N", int(add.sum()))]),
+                pa.string()),
+        })
+
+    new = orders.map_batches(perturb, batch_format="pyarrow")
+    return table_diff(orders, new, "o_orderkey",
+                      ["o_custkey", "o_orderstatus"])
+
+
+Q_ORDERS_DIFF_SQL = """
+with old as (select o_orderkey, o_custkey, o_orderstatus from orders),
+new as (
+  select o_orderkey,
+         o_custkey,
+         case when o_orderkey % 97 = 0 then 'X' else o_orderstatus end
+           as o_orderstatus
+  from orders where o_orderkey % 101 != 0
+  union all
+  select o_orderkey + 1000000000, o_custkey, 'N'
+  from orders where o_orderkey % 101 != 0 and o_orderkey % 103 = 1
+)
+select coalesce(o.o_orderkey, n.o_orderkey) as o_orderkey,
+       case when o.o_orderkey is null then 'added'
+            when n.o_orderkey is null then 'removed'
+            else 'changed' end as status
+from old o full outer join new n on n.o_orderkey = o.o_orderkey
+where o.o_orderkey is null or n.o_orderkey is null
+   or o.o_custkey is distinct from n.o_custkey
+   or o.o_orderstatus is distinct from n.o_orderstatus
+"""

@@ -641,3 +641,54 @@ def interval_join(points, intervals, point_ts: str, start_col: str,
 
     return unioned.groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def table_diff(old_ds, new_ds, key_cols, compare_cols,
+               num_buckets: int = 32):
+    """Row-level diff of two keyed tables: one FULL-OUTER partitioned hash
+    join, then a vectorized column compare — emits (key, status) rows with
+    status ∈ {added, removed, changed}; unchanged rows emit nothing, so
+    the output is delta-sized (the anti-entropy / CDC primitive; pairs
+    with the table digest for cheap equality pre-checks).
+
+    Both sides' compare columns ride the join padded with typed nulls;
+    NULL == NULL counts as equal (IS NOT DISTINCT FROM semantics, matching
+    the SQL oracle).
+    """
+    import pyarrow as pa
+
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {c: batch[c] for c in key_cols}
+            for c in compare_cols:
+                cols[f"{side}_{c}"] = batch[c]
+            # dedicated presence flag: a legitimately-NULL compare column
+            # must not read as an absent row
+            cols[f"{side}_present"] = pa.array(
+                np.ones(len(batch), np.int8), pa.int8())
+            return pa.table(cols)
+        return fn
+
+    old_t = old_ds.map_batches(tag("old"), batch_format="pyarrow")
+    new_t = new_ds.map_batches(tag("new"), batch_format="pyarrow")
+    j = hash_join(old_t, new_t, on=key_cols, how="outer",
+                  num_buckets=num_buckets)
+
+    def classify(batch: pd.DataFrame) -> pd.DataFrame:
+        has_old = batch["old_present"].notna()
+        has_new = batch["new_present"].notna()
+        # NULL-safe equality per compare column
+        same = np.ones(len(batch), dtype=bool)
+        for c in compare_cols:
+            a, b = batch[f"old_{c}"], batch[f"new_{c}"]
+            same &= (a.eq(b) | (a.isna() & b.isna())).to_numpy()
+        status = np.where(~has_old, "added",
+                          np.where(~has_new, "removed",
+                                   np.where(same, "same", "changed")))
+        out = batch[key_cols].copy()
+        out["status"] = status
+        return out[out["status"] != "same"]
+
+    return j.map_batches(classify, batch_format="pandas")
