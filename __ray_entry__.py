@@ -1260,6 +1260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_user_overlap": R.q_approx_user_overlap,
         "orders_digest": R.q_orders_digest,
         "orders_diff": R.q_orders_diff,
+        "doc_tfidf_cosine_canon": R.q_doc_tfidf_cosine_canon,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1426,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": R.Q_EVENT_TRANSITIONS_SQL,
         "orders_digest": R.Q_ORDERS_DIGEST_SQL,
         "orders_diff": R.Q_ORDERS_DIFF_SQL,
+        "doc_tfidf_cosine_canon": R.Q_DOC_TFIDF_COSINE_CANON_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

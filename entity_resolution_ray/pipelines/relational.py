@@ -3404,3 +3404,155 @@ where o.o_orderkey is null or n.o_orderkey is null
    or o.o_custkey is distinct from n.o_custkey
    or o.o_orderstatus is distinct from n.o_orderstatus
 """
+
+
+# --- 73. smooth-IDF weighted cosine under SQL ---------------------------------
+def q_doc_tfidf_cosine_canon(sf_dir: str):
+    """The TF-IDF WEIGHTING itself under a SQL oracle: smooth idf
+    (sklearn convention, ln((1+N)/(1+df)) + 1 — functions/vectorize.py:95)
+    fitted distributed (per-batch distinct-token partials → one
+    vocabulary-sized merge → broadcast), then idf-weighted cosine for
+    every first-2-token-block document pair.  Complements
+    er_scored_pairs_canon (raw-TF cosine) and the pytest-verified
+    production fit (which bins tokens into hashed float32 dims — the
+    binning has no SQL restatement; the FORMULA does, in float64).
+    Both plain-TF and TF-IDF cosines are emitted so the oracle also pins
+    that the weighting actually changes the ranking."""
+    from collections import Counter
+
+    from entity_resolution_ray.stages.aggregate import _add_bucket, grouped_aggregate
+    from entity_resolution_ray.functions.text import tokenize_words
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        n = 0
+        for text in batch["text"].to_pylist():
+            toks = set(tokenize_words(text or ""))
+            if toks:
+                n += 1
+                c.update(toks)
+        # one count row per partial rides along under a reserved token name
+        # that the regex tokenizer can never emit (contains a space)
+        t = pa.table({"tok": pa.array(list(c.keys()) + ["# docs"], pa.string()),
+                      "df": pa.array(np.fromiter(
+                          list(c.values()) + [n], np.int64, len(c) + 1))})
+        return t
+
+    parts = ds.map_batches(df_partial, batch_format="pyarrow")
+    dfv = grouped_aggregate(parts, "tok", {"df": ("df", "sum")},
+                            num_buckets=16).to_pandas()
+    n_docs = int(dfv.loc[dfv["tok"] == "# docs", "df"].iloc[0])
+    dfv = dfv[dfv["tok"] != "# docs"]
+    import math
+
+    idf = {t: math.log((1.0 + n_docs) / (1.0 + d)) + 1.0
+           for t, d in zip(dfv["tok"], dfv["df"].astype(int))}
+
+    def featurize(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(batch["doc_id"], batch["text"]):
+            toks = tokenize_words(text or "")
+            if not toks:
+                continue
+            tf = Counter(toks)
+            w = {t: c * idf[t] for t, c in tf.items()}
+            rows.append({
+                "doc_id": int(doc_id),
+                "block_key": " ".join(toks[:2]),
+                "tf": dict(tf),
+                "w": w,
+                "norm_tf": float(np.sqrt(sum(c * c for c in tf.values()))),
+                "norm_w": float(np.sqrt(sum(v * v for v in w.values()))),
+            })
+        return pd.DataFrame(rows, columns=["doc_id", "block_key", "tf", "w",
+                                           "norm_tf", "norm_w"])
+
+    feat = ds.map_batches(featurize, batch_format="pandas")
+    bucketed = feat.map_batches(
+        lambda b: _add_bucket(b, ["block_key"], 16), batch_format="pandas")
+
+    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        cols = ["src", "dst", "cos_tf", "cos_tfidf"]
+        rows = []
+        for _, g in group.groupby("block_key", sort=False):
+            recs = g.sort_values("doc_id", kind="mergesort").to_dict("records")
+            for i in range(len(recs)):
+                a = recs[i]
+                for j in range(i + 1, len(recs)):
+                    b = recs[j]
+                    ta, tb = (a, b) if len(a["tf"]) <= len(b["tf"]) else (b, a)
+                    shared = [t for t in ta["tf"] if t in tb["tf"]]
+                    dot_tf = float(sum(a["tf"][t] * b["tf"][t] for t in shared))
+                    dot_w = float(sum(a["w"][t] * b["w"][t] for t in shared))
+                    rows.append({
+                        "src": a["doc_id"], "dst": b["doc_id"],
+                        "cos_tf": dot_tf / (a["norm_tf"] * b["norm_tf"]),
+                        "cos_tfidf": dot_w / (a["norm_w"] * b["norm_w"]),
+                    })
+        return pd.DataFrame(rows, columns=cols)
+
+    pairs = bucketed.groupby("__bucket").map_groups(
+        pairs_in_bucket, batch_format="pandas")
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        r6 = lambda v: np.floor(batch[v].to_numpy(np.float64) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({"src": batch["src"], "dst": batch["dst"],
+                             "cos_tf": r6("cos_tf"),
+                             "cos_tfidf": r6("cos_tfidf")})
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+Q_DOC_TFIDF_COSINE_CANON_SQL = """
+with toks as (
+  select doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') as t
+  from documents
+),
+base as (
+  select doc_id, array_to_string(t[1:2], ' ') as block_key, t
+  from toks where len(t) > 0
+),
+tf as (
+  select doc_id, tok, count(*)::bigint as cnt
+  from (select doc_id, unnest(t) as tok from base) group by 1, 2
+),
+nd as (select count(distinct doc_id)::bigint as n from tf),
+idf as (
+  select tok,
+         ln((1.0 + (select n from nd)) / (1.0 + count(distinct doc_id))) + 1.0
+           as idf
+  from tf group by tok
+),
+wtf as (
+  select tf.doc_id, tf.tok, tf.cnt, tf.cnt * idf.idf as w
+  from tf join idf using (tok)
+),
+nrm as (
+  select doc_id, sqrt(sum(cnt * cnt)) as n_tf, sqrt(sum(w * w)) as n_w
+  from wtf group by doc_id
+),
+p as (
+  select a.doc_id as src, b.doc_id as dst
+  from base a join base b
+    on a.block_key = b.block_key and a.doc_id < b.doc_id
+),
+dots as (
+  select p.src, p.dst,
+         sum(wa.cnt * wb.cnt)::double as dot_tf,
+         sum(wa.w * wb.w) as dot_w
+  from p
+  join wtf wa on wa.doc_id = p.src
+  join wtf wb on wb.doc_id = p.dst and wb.tok = wa.tok
+  group by 1, 2
+)
+select d.src, d.dst,
+       round(d.dot_tf / (na.n_tf * nb.n_tf), 6) as cos_tf,
+       round(d.dot_w / (na.n_w * nb.n_w), 6) as cos_tfidf
+from dots d
+join nrm na on na.doc_id = d.src
+join nrm nb on nb.doc_id = d.dst
+"""
