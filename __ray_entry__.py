@@ -1261,6 +1261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_digest": R.q_orders_digest,
         "orders_diff": R.q_orders_diff,
         "doc_tfidf_cosine_canon": R.q_doc_tfidf_cosine_canon,
+        "vocab_growth": R.q_vocab_growth,
         "decontaminate": R.q_decontaminate,
         "jw_part_pairs": R.q_jw_part_pairs,
         "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
@@ -1428,6 +1429,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_digest": R.Q_ORDERS_DIGEST_SQL,
         "orders_diff": R.Q_ORDERS_DIFF_SQL,
         "doc_tfidf_cosine_canon": R.Q_DOC_TFIDF_COSINE_CANON_SQL,
+        "vocab_growth": R.Q_VOCAB_GROWTH_SQL,
         "decontaminate": R.Q_DECONTAMINATE_SQL,
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,

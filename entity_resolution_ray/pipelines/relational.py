@@ -3556,3 +3556,95 @@ from dots d
 join nrm na on na.doc_id = d.src
 join nrm nb on nb.doc_id = d.dst
 """
+
+
+# --- 74. vocabulary growth curve (Heaps' law checkpoints) ---------------------
+VOCAB_CHECKPOINTS = 10
+
+
+def q_vocab_growth(sf_dir: str):
+    """Cumulative vocabulary size after each decile of the corpus (docs
+    ordered by doc_id) — the Heaps-law curve that sizes vocabulary-bounded
+    stages (unigram fit broadcast, IDF table).  Key trick: vocab at
+    checkpoint d = |{tokens whose FIRST doc ≤ d}|, so one distributed
+    min-aggregate per token replaces any sequential scan; the checkpoint
+    fold is checkpoint-cardinality-sized."""
+    from collections import Counter
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.functions.text import tokenize_words
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        first: dict = {}
+        n_tok: dict = {}
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            for t in tokenize_words(text or ""):
+                if t not in first or doc_id < first[t]:
+                    first[t] = doc_id
+                n_tok[t] = n_tok.get(t, 0) + 1
+        return pa.table({
+            "tok": pa.array(list(first.keys()), pa.string()),
+            "first_doc": pa.array(np.fromiter(first.values(), np.int64,
+                                              len(first))),
+            "cnt": pa.array(np.fromiter((n_tok[t] for t in first), np.int64,
+                                        len(first))),
+        })
+
+    per_tok = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "tok", {"first_doc": ("first_doc", "min"), "cnt": ("cnt", "sum")},
+        num_buckets=16,
+    )
+
+    # checkpoint doc_ids: the k/10 quantiles of the doc_id space (exact,
+    # driver-side over the tiny id bounds — doc ids are dense in testdata)
+    ids = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()["doc_id"]
+    n = len(ids)
+    sorted_ids = np.sort(ids.to_numpy())
+    checkpoints = [int(sorted_ids[int(np.ceil(n * k / VOCAB_CHECKPOINTS)) - 1])
+                   for k in range(1, VOCAB_CHECKPOINTS + 1)]
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        fd = batch["first_doc"].to_numpy(np.int64)
+        rows = []
+        for cp in checkpoints:
+            rows.append({"checkpoint_doc": cp,
+                         "vocab": int((fd <= cp).sum())})
+        return pd.DataFrame(rows, columns=["checkpoint_doc", "vocab"])
+
+    folded = per_tok.map_batches(fold, batch_format="pandas")
+    return grouped_aggregate(
+        folded, "checkpoint_doc", {"vocab": ("vocab", "sum")}, num_buckets=1)
+
+
+def _vocab_growth_sql() -> str:
+    return f"""
+with toks as (
+  select doc_id, unnest({oracle_token_expr()}) as tok from documents
+),
+first_seen as (select tok, min(doc_id) as first_doc from toks group by tok),
+ids as (
+  select doc_id, row_number() over (order by doc_id) as rn,
+         count(*) over () as n
+  from documents
+),
+cps as (
+  select doc_id as checkpoint_doc from ids
+  where rn in (
+    select cast(ceil(n * k / {VOCAB_CHECKPOINTS}.0) as bigint)
+    from (select distinct n from ids),
+         unnest(generate_series(1, {VOCAB_CHECKPOINTS})) as g(k)
+  )
+)
+select c.checkpoint_doc,
+       count(f.tok)::bigint as vocab
+from cps c
+left join first_seen f on f.first_doc <= c.checkpoint_doc
+group by c.checkpoint_doc
+"""
+
+
+Q_VOCAB_GROWTH_SQL = _vocab_growth_sql()

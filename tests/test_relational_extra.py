@@ -80,6 +80,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     (R.q_orders_digest, R.Q_ORDERS_DIGEST_SQL),
     (R.q_orders_diff, R.Q_ORDERS_DIFF_SQL),
     (R.q_doc_tfidf_cosine_canon, R.Q_DOC_TFIDF_COSINE_CANON_SQL),
+    (R.q_vocab_growth, R.Q_VOCAB_GROWTH_SQL),
 ], ids=["region_revenue", "fuzzy_part_pairs", "brand_set_ops",
         "props_extract", "orders_below_max", "type_brand_list",
         "priority_share", "orders_events_daily", "price_corr",
@@ -87,7 +88,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "customer_upsert", "label_centroids", "stratified_docs",
         "winnow_fingerprints", "winnow_neardup", "phonetic_codes",
         "doc_repetition", "decontaminate", "jw_part_pairs",
-        "minhash_dedup_canon", "doc_unigram_nll", "priority_sample", "events_range_join", "part_pagerank", "part_triangles", "weighted_price_percentiles", "winnow_containment", "user_growth", "segment_profile", "price_zscores", "er_scored_pairs_canon", "brand_price_regression", "event_transitions", "orders_digest", "orders_diff", "doc_tfidf_cosine_canon"])
+        "minhash_dedup_canon", "doc_unigram_nll", "priority_sample", "events_range_join", "part_pagerank", "part_triangles", "weighted_price_percentiles", "winnow_containment", "user_growth", "segment_profile", "price_zscores", "er_scored_pairs_canon", "brand_price_regression", "event_transitions", "orders_digest", "orders_diff", "doc_tfidf_cosine_canon", "vocab_growth"])
 def test_query_matches_oracle(sf_dir, fn, sql):
     mine = fn(sf_dir)
     mine = mine.to_pandas() if hasattr(mine, "to_pandas") else mine
