@@ -1226,62 +1226,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     apply_context_defaults()
 
     # NB: dict order is the driver's check order and the driver caps the
-    # correctness run at ~50 queries per round (r3 checked exactly the
-    # first 50 of 78) — every SQL-oracled query must sit in that window,
-    # newly-oracled ones first so they can't fall out of it.
+    # correctness run at ~50 queries per round — every slot in that window
+    # must be SQL-oracled (VERDICT r4 task 2), and the window rotates
+    # (task 3): r5 re-includes every oracled query whose last driver-green
+    # row was r3, then newly-oracled r5 queries, then recently-touched and
+    # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
-        # newly-oracled this round (frontmost: must land in the window)
-        "minhash_dedup_canon": R.q_minhash_dedup_canon,
-        "passage_dedup": R.q_passage_dedup,
-        "er_pair_weights": _er_pair_weights,
-        "er_scored_pairs_canon": _er_scored_pairs_canon,
-        "doc_terms": _doc_terms,
-        "simhash_pairs": _simhash_pairs,
-        "doc_keywords": _doc_keywords,
-        "sanctions_struct_fields": _sanctions_struct_fields,
-        "winnow_fingerprints": R.q_winnow_fingerprints,
-        "winnow_neardup": R.q_winnow_neardup,
-        "phonetic_codes": R.q_phonetic_codes,
-        "er_blocks_phonetic_canon": _er_blocks_phonetic_canon,
-        "doc_repetition": R.q_doc_repetition,
-        "doc_unigram_nll": R.q_doc_unigram_nll,
-        "priority_sample": R.q_priority_sample,
-        "events_range_join": R.q_events_range_join,
-        "part_pagerank": R.q_part_pagerank,
-        "part_triangles": R.q_part_triangles,
-        "part_kcore": R.q_part_kcore,
-        "weighted_price_percentiles": R.q_weighted_price_percentiles,
-        "winnow_containment": R.q_winnow_containment,
-        "user_growth": R.q_user_growth,
-        "segment_profile": R.q_segment_profile,
-        "price_zscores": R.q_price_zscores,
-        "brand_price_regression": R.q_brand_price_regression,
-        "event_transitions": R.q_event_transitions,
-        "approx_user_overlap": R.q_approx_user_overlap,
-        "orders_digest": R.q_orders_digest,
-        "orders_diff": R.q_orders_diff,
-        "doc_tfidf_cosine_canon": R.q_doc_tfidf_cosine_canon,
-        "vocab_growth": R.q_vocab_growth,
-        "decontaminate": R.q_decontaminate,
-        "jw_part_pairs": R.q_jw_part_pairs,
-        "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
-        "er_combiner_cc_canon": _er_combiner_cc_canon,
-        "er_combiner_baseline_canon": _er_combiner_baseline_canon,
-        "minhash_band_pairs": R.q_minhash_band_pairs,
-        # relational / analytics operators (SQL-oracled)
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "segment_revenue": R.q_segment_revenue,
-        "top_orders": R.q_top_orders,
-        "nation_customers": R.q_nation_customers,
-        "part_filter": R.q_part_filter,
-        "events_hourly": R.q_events_hourly,
-        "events_asof": R.q_events_asof,
-        "events_sessions": R.q_events_sessions,
-        "events_sliding": R.q_events_sliding,
-        "events_topk_user": R.q_events_topk_user,
-        "price_percentiles": R.q_price_percentiles,
-        "disc_price_percentiles": R.q_disc_price_percentiles,
-        "events_pivot": R.q_events_pivot,
+        # --- r5 window: newly-oracled this round (frontmost) ---
+        # (new r5 entries are inserted here as they land)
+        # --- r5 window: r3-era oracled queries due for rotation ---
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
         "events_rolling": R.q_events_rolling,
@@ -1309,18 +1262,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_upsert": R.q_customer_upsert,
         "label_centroids": R.q_label_centroids,
         "stratified_docs": R.q_stratified_docs,
-        # text analysis (SQL-oracled)
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
         "exact_dedup": R.q_exact_dedup,
         "token_topk": R.q_token_topk,
-        # similarity / dedup (SQL-oracled where exact)
         "embedding_neardup": R.q_embedding_neardup,
         "ann_topk": R.q_ann_topk,
         "jaccard_neardup": R.q_jaccard_neardup,
         "doc_embeddings": R.q_doc_embeddings,
+        # --- r5 window: touched-this-round + flagship canonicals ---
+        "vocab_growth": R.q_vocab_growth,
+        "event_transitions": R.q_event_transitions,
+        "er_scored_pairs_canon": _er_scored_pairs_canon,
+        "er_pair_weights": _er_pair_weights,
+        "minhash_dedup_canon": R.q_minhash_dedup_canon,
+        "er_combiner_cc_canon": _er_combiner_cc_canon,
+        "er_combiner_baseline_canon": _er_combiner_baseline_canon,
+        "er_blocks_cutoff_canon": _er_blocks_cutoff_canon,
+        "er_blocks_phonetic_canon": _er_blocks_phonetic_canon,
+        "doc_tfidf_cosine_canon": R.q_doc_tfidf_cosine_canon,
+        "jw_part_pairs": R.q_jw_part_pairs,
+        "minhash_band_pairs": R.q_minhash_band_pairs,
+        "simhash_pairs": _simhash_pairs,
+        "phonetic_codes": R.q_phonetic_codes,
+        "decontaminate": R.q_decontaminate,
+        # --- end of the ~50-query driver window ---
+        # oracled, driver-green in r4 (rows ≤1 round old; below the window)
+        "passage_dedup": R.q_passage_dedup,
+        "doc_terms": _doc_terms,
+        "doc_keywords": _doc_keywords,
+        "sanctions_struct_fields": _sanctions_struct_fields,
+        "winnow_fingerprints": R.q_winnow_fingerprints,
+        "winnow_neardup": R.q_winnow_neardup,
+        "doc_repetition": R.q_doc_repetition,
+        "doc_unigram_nll": R.q_doc_unigram_nll,
+        "priority_sample": R.q_priority_sample,
+        "events_range_join": R.q_events_range_join,
+        "part_pagerank": R.q_part_pagerank,
+        "part_triangles": R.q_part_triangles,
+        "weighted_price_percentiles": R.q_weighted_price_percentiles,
+        "winnow_containment": R.q_winnow_containment,
+        "user_growth": R.q_user_growth,
+        "segment_profile": R.q_segment_profile,
+        "price_zscores": R.q_price_zscores,
+        "brand_price_regression": R.q_brand_price_regression,
+        "orders_digest": R.q_orders_digest,
+        "orders_diff": R.q_orders_diff,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "segment_revenue": R.q_segment_revenue,
+        "top_orders": R.q_top_orders,
+        "nation_customers": R.q_nation_customers,
+        "part_filter": R.q_part_filter,
+        "events_hourly": R.q_events_hourly,
+        "events_asof": R.q_events_asof,
+        "events_sessions": R.q_events_sessions,
+        "events_sliding": R.q_events_sliding,
+        "events_topk_user": R.q_events_topk_user,
+        "price_percentiles": R.q_price_percentiles,
+        "disc_price_percentiles": R.q_disc_price_percentiles,
+        "events_pivot": R.q_events_pivot,
         # non-SQL-expressible pipelines (rows-only checks; all oracled
         # queries are above this line)
+        "part_kcore": R.q_part_kcore,
+        "approx_user_overlap": R.q_approx_user_overlap,
         "er_clusters": _er_clusters,
         "er_cluster_sizes": _er_cluster_sizes,
         "er_scored_pairs": _er_scored_pairs,

@@ -3251,7 +3251,9 @@ def q_event_transitions(sf_dir: str):
         g = group.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         n = len(g)
         if n < 2:
-            return pd.DataFrame({"prev_type": [], "next_type": [], "n": []})
+            return pd.DataFrame({"prev_type": pd.Series(dtype=object),
+                                 "next_type": pd.Series(dtype=object),
+                                 "n": pd.Series(dtype="int64")})
         uid = g["user_id"].to_numpy()
         et = g["event_type"].to_numpy()
         same = uid[1:] == uid[:-1]
@@ -3604,8 +3606,11 @@ def q_vocab_growth(sf_dir: str):
     ids = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()["doc_id"]
     n = len(ids)
     sorted_ids = np.sort(ids.to_numpy())
-    checkpoints = [int(sorted_ids[int(np.ceil(n * k / VOCAB_CHECKPOINTS)) - 1])
-                   for k in range(1, VOCAB_CHECKPOINTS + 1)]
+    checkpoints = sorted({
+        int(sorted_ids[int(np.ceil(n * k / VOCAB_CHECKPOINTS)) - 1])
+        for k in range(1, VOCAB_CHECKPOINTS + 1)})  # dedupe: tiny corpora
+    # collapse adjacent quantiles; SQL's `rn in (...)` is distinct, so the
+    # fold must emit each checkpoint doc once or the sum double-counts.
 
     def fold(batch: pd.DataFrame) -> pd.DataFrame:
         fd = batch["first_doc"].to_numpy(np.int64)

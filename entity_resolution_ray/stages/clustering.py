@@ -685,10 +685,12 @@ def pagerank(edges, damping: float = 0.85, iters: int = 5,
                             num_buckets=num_buckets).repartition(4).materialize()
     n = deg.count()
     if n == 0:
-        return deg.map_batches(
-            lambda t: pa.table({"node": pa.array([], pa.int64()),
-                                "rank_ppm": pa.array([], pa.float64())}),
-            batch_format="pyarrow")
+        # map_batches over a materialized EMPTY dataset yields a schemaless
+        # result (the transformed-empty-dataset gotcha k_core guards below);
+        # build the typed empty table directly instead.
+        import ray.data as rd
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank_ppm": pa.array([], pa.float64())}))
     init = 1.0 / n
     base = (1.0 - damping) / n
 

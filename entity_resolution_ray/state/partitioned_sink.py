@@ -115,6 +115,10 @@ def write_partitioned(ds, out_dir: str, key_col: str,
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(part_dir, ignore_errors=True)
         sub = routed.filter(expr=f"__part == {p}").drop_columns(["__part"])
+        # Skewed/degenerate range bounds can make a partition empty; Ray's
+        # write_parquet creates no directory for 0 rows, so pre-create it —
+        # the empty partition still gets a _COMMITTED marker and resume works.
+        os.makedirs(tmp_dir, exist_ok=True)
         sub.write_parquet(tmp_dir)
         rows = sub.count()
         os.replace(tmp_dir, part_dir)

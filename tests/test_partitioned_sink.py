@@ -83,3 +83,29 @@ def test_bounds_mismatch_refuses(tmp_path):
 
     with pytest.raises(ValueError):
         write_partitioned(ds, out, "k", num_partitions=8)
+
+
+def test_skewed_keys_empty_partition_commits(tmp_path):
+    """ADVICE r4: degenerate key distribution (one hot key) makes
+    compute_range_bounds yield duplicate bounds → some partitions route
+    zero rows.  The sink must still commit those partitions (empty dir +
+    _COMMITTED marker) so a rerun resumes instead of crashing."""
+    df = pd.DataFrame({
+        "k": np.array([1] * 100 + [2, 2, 3, 3], np.int64),
+        "v": np.arange(104, dtype=np.float64),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    out = str(tmp_path / "skewed")
+    manifest = write_partitioned(ds, out, "k", num_partitions=4)
+    assert len(manifest["partitions"]) == 4
+    committed = read_partition_manifest(out)
+    assert len(committed) == 4
+    assert sum(p["rows"] for p in committed) == 104
+    # at least one partition is empty under this skew
+    assert any(p["rows"] == 0 for p in committed)
+    # rerun skips everything
+    again = write_partitioned(ds, out, "k", num_partitions=4)
+    assert again["skipped"] == 4 and not again["partitions"]
+    got = _read_all(out).sort_values(["k", "v"]).reset_index(drop=True)
+    exp = df.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
