@@ -1233,7 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
-        # (new r5 entries are inserted here as they land)
+        "load_mentions_csv": R.q_load_mentions_csv,
         # --- r5 window: r3-era oracled queries due for rotation ---
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
@@ -1359,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "load_mentions_csv": R.Q_LOAD_MENTIONS_CSV_SQL,
         "er_pair_weights": ER_PAIR_WEIGHTS_SQL,
         "er_scored_pairs_canon": ER_SCORED_PAIRS_CANON_SQL,
         "doc_terms": DOC_TERMS_SQL,

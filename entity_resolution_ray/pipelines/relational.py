@@ -3653,3 +3653,76 @@ group by c.checkpoint_doc
 
 
 Q_VOCAB_GROWTH_SQL = _vocab_growth_sql()
+
+
+# ---------------------------------------------------------------------------
+# CSV mention source (reference CSVDataProvider contract)
+# ---------------------------------------------------------------------------
+
+def _mentions_csv_fixture(sf_dir: str) -> str:
+    """Deterministic CSV rendering of the documents table (write-once,
+    atomic rename): content nulled at ``doc_id % 37 == 0`` and duplicate
+    ``(blocking_field, unique_id)`` rows injected at ``doc_id % 11 == 0``
+    so the reader's null-drop and dedup contract paths have real work.
+    Column meanings follow ``am_combiner/combiners/common.py:18-26``."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    out = f"/tmp/er_csv_fixtures/{key}/mentions.csv"
+    if os.path.exists(out):
+        return out
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text", "source"]).to_pandas()
+    base = pd.DataFrame({
+        "blocking_field": t["source"],
+        "content": t["text"].where(t["doc_id"] % 37 != 0),
+        "unique_id": "u" + t["doc_id"].astype(str),
+        "ground_truth": (t["doc_id"] % 7).astype("int64"),
+    })
+    d = t[t["doc_id"] % 11 == 0]
+    dups = pd.DataFrame({
+        "blocking_field": d["source"],
+        "content": "zzdup " + d["text"],
+        "unique_id": "u" + d["doc_id"].astype(str),
+        "ground_truth": (d["doc_id"] % 7).astype("int64"),
+    })
+    tmp = f"{out}.tmp{os.getpid()}"
+    pd.concat([base, dups], ignore_index=True).to_csv(tmp, index=False)
+    os.replace(tmp, out)
+    return out
+
+
+def q_load_mentions_csv(sf_dir: str):
+    """CSV ingestion through the 4-column combiner-input contract —
+    ``ray.data.read_csv`` → required-column check → null/empty-content
+    drop → (blocking_field, unique_id) dedup keep-min-content."""
+    from entity_resolution_ray.stages.normalize import read_mentions_csv
+
+    return read_mentions_csv(_mentions_csv_fixture(sf_dir))
+
+
+Q_LOAD_MENTIONS_CSV_SQL = """
+with rows_ as (
+    select source as blocking_field,
+           case when doc_id % 37 = 0 then null else text end as content,
+           'u' || cast(doc_id as varchar) as unique_id,
+           doc_id % 7 as ground_truth
+    from documents
+    union all
+    select source, 'zzdup ' || text, 'u' || cast(doc_id as varchar),
+           doc_id % 7
+    from documents where doc_id % 11 = 0
+), kept as (
+    select * from rows_ where content is not null and content <> ''
+), dedup as (
+    select *, row_number() over (partition by blocking_field, unique_id
+                                 order by content) as rn
+    from kept
+)
+select blocking_field, content, unique_id, ground_truth
+from dedup where rn = 1
+"""

@@ -224,3 +224,57 @@ def max_names_filter(ds, max_names: int, name_col: str = S.ENTITY_NAME):
         return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+MENTIONS_CSV_COLUMNS = ("blocking_field", "content", "unique_id",
+                        "ground_truth")
+
+
+def read_mentions_csv(csv_path: str, ignore_missing_cols: bool = False):
+    """CSV combiner-input source with the reference's 4-column contract
+    (``am_combiner/combiners/common.py:59-92`` / ``CSVDataProvider``,
+    ``utils/data.py:358-393``): the required columns are
+    ``{blocking_field, content, unique_id, ground_truth}``; rows with
+    null/empty ``content`` are dropped; duplicates on
+    ``(blocking_field, unique_id)`` collapse to one row.  The reference
+    keeps first-in-file order for duplicates; a Dataset has no input
+    order, so the deterministic lexicographically-min ``content`` row
+    stands in (identical result whenever duplicates carry identical
+    content).  Empty CSV fields read as null (``strings_can_be_null``),
+    matching pandas' NaN-on-empty, and quoted embedded newlines are
+    honoured — the reader streams file fragments as Arrow blocks, so a
+    100-TB mention dump shards across the cluster like any parquet read.
+    """
+    import pyarrow.csv as pacsv
+    import ray.data
+
+    ds = ray.data.read_csv(
+        csv_path,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
+        convert_options=pacsv.ConvertOptions(
+            column_types={"blocking_field": pa.string(),
+                          "content": pa.string(),
+                          "unique_id": pa.string()},
+            strings_can_be_null=True,
+        ),
+    )
+    if not ignore_missing_cols:
+        have = set(ds.schema().names)
+        for c in MENTIONS_CSV_COLUMNS:
+            if c not in have:
+                raise ValueError(
+                    f'Required column "{c}" is not found in {csv_path}')
+
+    def drop_null_content(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch["content"]),
+                     pc.not_equal(batch["content"], ""))
+        return batch.filter(pc.fill_null(ok, False))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["blocking_field"], batch["unique_id"], "\x1f")
+        return batch.append_column("__key", key)
+
+    ds = ds.map_batches(drop_null_content, batch_format="pyarrow") \
+           .map_batches(add_key, batch_format="pyarrow")
+    return dedup_keep_min(ds, "__key", "content").drop_columns(["__key"])

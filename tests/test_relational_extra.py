@@ -270,3 +270,35 @@ def test_hll_set_ops_error_bounds(sf_dir):
             col, est[col], exact[key])
     assert abs(est["n_intersect"] - exact["ni"]) <= max(
         0.08 * exact["nu"], 20)
+
+
+def test_read_mentions_csv_contract(tmp_path):
+    """4-column combiner-input contract (reference common.py:59-92):
+    missing required column raises; null/empty content drops; duplicate
+    (blocking_field, unique_id) keeps one deterministic row."""
+    import pandas as pd
+    import pytest
+
+    from entity_resolution_ray.stages.normalize import read_mentions_csv
+
+    bad = tmp_path / "bad.csv"
+    pd.DataFrame({"blocking_field": ["a"], "content": ["x"],
+                  "unique_id": ["u1"]}).to_csv(bad, index=False)
+    with pytest.raises(ValueError, match="ground_truth"):
+        read_mentions_csv(str(bad))
+    # ignore_missing_cols skips the check (reference CSVDataProvider path)
+    assert read_mentions_csv(str(bad), ignore_missing_cols=True).count() == 1
+
+    good = tmp_path / "good.csv"
+    pd.DataFrame({
+        "blocking_field": ["a", "a", "a", "b", "b"],
+        "content": ["keep", "zzdup keep", None, "", "solo"],
+        "unique_id": ["u1", "u1", "u2", "u3", "u4"],
+        "ground_truth": [0, 0, 1, 2, 3],
+    }).to_csv(good, index=False)
+    got = read_mentions_csv(str(good)).to_pandas() \
+        .sort_values("unique_id").reset_index(drop=True)
+    assert list(got["unique_id"]) == ["u1", "u4"]
+    assert list(got["content"]) == ["keep", "solo"]
+    assert list(got.columns) == ["blocking_field", "content", "unique_id",
+                                 "ground_truth"]
