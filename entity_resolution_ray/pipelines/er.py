@@ -208,7 +208,7 @@ def scored_pairs(featured_ds, cfg: ERConfig | None = None, timing_actor=None):
             _SINGLETONS[key] = inst
         return inst(batch)
 
-    return pairs.map_batches(score_fn, batch_format="pandas", batch_size=16384)
+    return pairs.map_batches(score_fn, batch_format="pyarrow", batch_size=16384)
 
 
 def cluster_documents(docs_path: str, cfg: ERConfig | None = None):

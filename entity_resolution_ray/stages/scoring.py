@@ -85,25 +85,47 @@ class PairScorer:
         norm = np.linalg.norm(acc)
         return acc / norm if norm > 0 else None
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch):
+        # Arrow-native hot path (the flagship's widest stage); the pandas
+        # shim exists for direct unit-test / embedder use only.
+        if isinstance(batch, pd.DataFrame):
+            import pyarrow as pa
+
+            return self._score_table(
+                pa.Table.from_pandas(batch, preserve_index=False)
+            ).to_pandas()
+        return self._score_table(batch)
+
+    def _score_table(self, batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         cfg = self.cfg
-        n = len(batch)
+        n = batch.num_rows
 
         # JW over the batch's UNIQUE name pairs only (names repeat heavily
         # inside a block-keyed pair table), then scattered back.  Cache hits
         # resolve from the cross-batch memo; the misses go through the
         # bit-parallel numpy kernel in ONE batched call, so a
         # high-name-cardinality corpus (unique-pair ratio ~1) stays off the
-        # pure-Python char loop (VERDICT r2 #4).
+        # pure-Python char loop (VERDICT r2 #4).  Key build is Arrow-native
+        # (VERDICT r4 task 6): binary_join + dictionary_encode replace the
+        # pandas str.cat/factorize pair, so the edge table never round-trips
+        # Arrow→pandas→Arrow at the widest point of the job.
         from entity_resolution_ray.functions.text import jaro_winkler_batch
 
         # \x1f (unit separator), NOT \x00: numpy's fixed-width unicode
         # treats NUL as padding, so a "\x00" sep silently vanished in the
-        # pandas str concat and every key partitioned to (a+b, "") — the JW
-        # channel scored 0 for all pairs (caught by er_scored_pairs_canon's
+        # old pandas str concat and every key partitioned to (a+b, "") — the
+        # JW channel scored 0 for all pairs (caught by er_scored_pairs_canon's
         # SQL oracle, which computed the real jw)
-        keys = batch["src_name"].str.cat(batch["dst_name"], sep="\x1f")
-        codes, uniques = pd.factorize(keys, sort=False)
+        keys = pc.binary_join_element_wise(
+            batch["src_name"], batch["dst_name"], "\x1f")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        dict_arr = keys.dictionary_encode()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+        uniques = dict_arr.dictionary.to_pylist()
         vals = np.empty(len(uniques), dtype=np.float64)
         miss_i: list[int] = []
         miss_a: list[str] = []
@@ -130,31 +152,39 @@ class PairScorer:
         # media cosine + DOB negative evidence arrive precomputed from the
         # pair generator (they need per-doc vectors co-located with the block
         # group); recompute here from raw refs/years only if absent
-        if "media_cos" in batch.columns:
-            media_cos = batch["media_cos"].to_numpy(dtype=np.float64)
+        names = set(batch.column_names)
+        if "media_cos" in names:
+            media_cos = batch["media_cos"].to_numpy(
+                zero_copy_only=False).astype(np.float64, copy=False)
         else:
             media_cos = np.zeros(n, dtype=np.float64)
-            for i, (sm, dm) in enumerate(zip(batch["src_media"], batch["dst_media"])):
+            for i, (sm, dm) in enumerate(zip(batch["src_media"].to_pylist(),
+                                             batch["dst_media"].to_pylist())):
                 ea = self._mean_embedding(sm)
                 eb = self._mean_embedding(dm)
                 if ea is not None and eb is not None:
                     media_cos[i] = float(ea @ eb)
-        if "neg_dob" in batch.columns:
-            neg = batch["neg_dob"].to_numpy(dtype=bool)
+        if "neg_dob" in names:
+            neg = batch["neg_dob"].to_numpy(
+                zero_copy_only=False).astype(bool, copy=False)
         else:
             neg = np.fromiter(
                 (
                     dob_negative(s, d, cfg.dob_distance)
-                    for s, d in zip(batch["src_dob"], batch["dst_dob"])
+                    for s, d in zip(batch["src_dob"].to_pylist(),
+                                    batch["dst_dob"].to_pylist())
                 ),
                 dtype=bool,
                 count=n,
             )
 
-        weight = batch["weight"].to_numpy(dtype=np.float64)
-        cosine = batch["cosine"].to_numpy(dtype=np.float64)
-        if "ftr_cos" in batch.columns:
-            ftr_cos = batch["ftr_cos"].to_numpy(dtype=np.float64)
+        weight = batch["weight"].to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        cosine = batch["cosine"].to_numpy(
+            zero_copy_only=False).astype(np.float64, copy=False)
+        if "ftr_cos" in names:
+            ftr_cos = batch["ftr_cos"].to_numpy(
+                zero_copy_only=False).astype(np.float64, copy=False)
         else:
             ftr_cos = np.zeros(n, dtype=np.float64)
         boost = np.clip(weight, 0, cfg.max_energy) / cfg.max_energy
@@ -165,14 +195,19 @@ class PairScorer:
             + cfg.w_media * np.maximum(media_cos, 0.0)
             + cfg.w_ftr * ftr_cos
         )
-        out = batch[["block_key", "src", "dst", "weight", "cosine"]].copy()
-        out["ftr_cos"] = ftr_cos
-        out["jw"] = jw
-        out["media_cos"] = media_cos
-        out["neg_dob"] = neg
-        out["score"] = score
-        out["accepted"] = (score > cfg.th) & ~neg
-        return out
+        return pa.table({
+            "block_key": batch["block_key"],
+            "src": batch["src"],
+            "dst": batch["dst"],
+            "weight": batch["weight"],
+            "cosine": batch["cosine"],
+            "ftr_cos": pa.array(ftr_cos),
+            "jw": pa.array(jw),
+            "media_cos": pa.array(media_cos),
+            "neg_dob": pa.array(neg),
+            "score": pa.array(score),
+            "accepted": pa.array((score > cfg.th) & ~neg),
+        })
 
 
 def score_pairs(pairs_ds, config: ScoreConfig | None = None,
@@ -181,7 +216,7 @@ def score_pairs(pairs_ds, config: ScoreConfig | None = None,
     return pairs_ds.map_batches(
         PairScorer,
         fn_constructor_kwargs={"config": config},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
