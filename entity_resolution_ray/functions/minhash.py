@@ -68,11 +68,38 @@ def minhash_signatures_batch(
         base = md5_hash64_array(flat)
     else:
         base = hash64_array(flat)
-    all_hashes = universal_hashes(base, num_perm, seed)  # (vocab, num_perm)
-    out = np.full((len(rows), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for i, ids in enumerate(row_idx):
-        if len(ids):
-            out[i] = all_hashes[ids].min(axis=0)
+    return _minhash_reduce(base, row_idx, num_perm, seed)
+
+
+def _minhash_reduce(base: np.ndarray, row_idx: list[np.ndarray],
+                    num_perm: int, seed: int) -> np.ndarray:
+    """Per-row signature mins without materializing the full
+    (vocab, num_perm) hash matrix: permutations go through in chunks of 16
+    (bounding the live allocation ~8×) and the per-row min is ONE
+    ``minimum.reduceat`` over the flattened shingle-id array instead of a
+    Python loop of fancy-indexed row slices.  Bit-identical to the naive
+    ``universal_hashes(...).min(axis=0)`` path — same constants, same
+    uint64 wraparound (the whole-matrix allocation was ~50% of signer wall
+    at 1.2M docs)."""
+    from entity_resolution_ray.utils.hashing import universal_hash_constants
+
+    n = len(row_idx)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    counts = np.fromiter((len(r) for r in row_idx), np.int64, count=n)
+    nz = np.flatnonzero(counts)
+    if not len(nz):
+        return out
+    flat = np.concatenate([row_idx[i] for i in nz])
+    ends = np.cumsum(counts[nz])
+    offs = np.empty(len(nz), np.int64)
+    offs[0] = 0
+    offs[1:] = ends[:-1]
+    a, b = universal_hash_constants(num_perm, seed)
+    base = base.astype(np.uint64).reshape(-1, 1)
+    for s in range(0, num_perm, 16):
+        e = min(s + 16, num_perm)
+        hv = base * a[s:e][None, :] + b[s:e][None, :]  # uint64 wraparound
+        out[nz, s:e] = np.minimum.reduceat(hv[flat], offs, axis=0)
     return out
 
 

@@ -119,10 +119,13 @@ def _pool_size(cfg: "ERConfig") -> tuple:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    # start half the pool immediately (a slow autoscaling ramp wastes most of
-    # a short stage) but leave CPUs free for the feeding read/shuffle tasks —
-    # a pool whose minimum holds every CPU deadlocks its own input
-    return (max(1, cpus // 2), max(2, cpus))
+    # FIXED-size pool (min == max): all actors start at stage start (no
+    # autoscaling ramp), sized under the CPU count so the feeding
+    # read/shuffle tasks keep running — a pool whose minimum holds every
+    # CPU deadlocks its own input.  Fixed sizing also lets the scorer pool
+    # stream from the pair-gen shuffle with no materialize barrier.
+    n = max(2, (3 * cpus) // 4)
+    return (n, n)
 
 
 def featured_documents(docs_ds, cfg: ERConfig | None = None):
@@ -190,11 +193,17 @@ def scored_pairs(featured_ds, cfg: ERConfig | None = None, timing_actor=None):
         timing_actor=timing_actor,
     )
     if cfg.use_actor_pools:
-        # materialize before the pool: a streaming sort-shuffle → autoscaling
-        # actor pool chain ramps the pool too slowly (measured 3× slower);
-        # the stateless-task path below streams straight through instead
+        conc = _pool_size(cfg)
+        if conc[0] == conc[1]:
+            # fixed-size pool: every actor starts at stage start, so the
+            # slow-autoscaling-ramp problem the materialize barrier worked
+            # around doesn't exist — stream straight through (r4 task 5)
+            return score_pairs(pairs, config=cfg.score, concurrency=conc)
+        # autoscaling pool: materialize before it — a streaming sort-shuffle
+        # → autoscaling actor pool chain ramps the pool too slowly
+        # (measured 3× slower)
         pairs = pairs.materialize()
-        return score_pairs(pairs, config=cfg.score, concurrency=_pool_size(cfg))
+        return score_pairs(pairs, config=cfg.score, concurrency=conc)
 
     from entity_resolution_ray.stages.scoring import PairScorer
 

@@ -133,9 +133,22 @@ def shingle_hash_table(ds, ngram: int = 3, text_col: str = "text",
     return ds.select_columns([id_col, text_col]).map_batches(fn, batch_format="pyarrow")
 
 
+def _signer_pool(concurrency):
+    """Signer-pool sizing: minhash signing is embarrassingly parallel and
+    compute-bound, so ``None`` auto-sizes the pool max to the cluster's CPU
+    count (a fixed (1, 8) cap left 24 of 32 CPUs idle for the longest stage
+    of the 1.2M-doc dedup-scale run)."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return (1, max(8, cpus))
+
+
 def jaccard_neardup_pairs(ds, threshold: float = 0.4, num_perm: int = 128,
                           num_bands: int = 64, ngram: int = 3,
-                          concurrency=(1, 8)):
+                          concurrency=None):
     """Verified near-dup pairs (src < dst, exact jaccard ≥ threshold).
 
     Fully partitioned: LSH banding proposes candidates; the exact verify
@@ -157,7 +170,7 @@ def jaccard_neardup_pairs(ds, threshold: float = 0.4, num_perm: int = 128,
             "num_perm": num_perm, "num_bands": num_bands, "ngram": ngram
         },
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=_signer_pool(concurrency),
     )
     from entity_resolution_ray.stages.blocking import dedup_pairs, grouped_pairs
 
@@ -175,7 +188,38 @@ def exact_jaccard_verify(ds, cand, ngram: int = 3, threshold: float = 0.4):
     sketch).  Returns (src, dst, jaccard) with jaccard ≥ threshold; pairs
     where either side has zero shingles score 0 and drop (the SQL-oracle
     convention: empty docs produce no shingle rows, hence no pairs)."""
-    sh = shingle_hash_table(ds, ngram=ngram).materialize()
+    # Shingle ONLY candidate-referenced docs: shingle building is the
+    # per-string hot loop, and at realistic dup rates the candidate set
+    # references a small fraction of the corpus.  A bloom over the pair
+    # table's (src ∪ dst) ids has no false negatives, so every doc a pair
+    # needs still gets shingled — exactness unchanged, false positives
+    # merely shingle a few extra docs (r4 task 4: this join was 91% of the
+    # 1.2M-doc dedup-scale wall, dominated by whole-corpus shingling).
+    from entity_resolution_ray.stages.blocking import fetch_broadcast
+    from entity_resolution_ray.stages.joins import (
+        _bloom_positions, _key_hash64, build_bloom_filter,
+    )
+
+    cand_ids = cand.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays([
+            t["src"].combine_chunks(), t["dst"].combine_chunks()])}),
+        batch_format="pyarrow",
+    )
+    bits = build_bloom_filter(cand_ids, ["doc_id"])
+    num_bits = len(bits) * 8
+    import ray as _ray
+
+    bits_ref = _ray.put(bits)
+
+    def prune_docs(batch: pd.DataFrame) -> pd.DataFrame:
+        b = np.frombuffer(fetch_broadcast(bits_ref), dtype=np.uint8)
+        pos = _bloom_positions(_key_hash64(batch, ["doc_id"]), num_bits, 4)
+        hit = ((b[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        return batch[hit]
+
+    docs_pruned = ds.select_columns(["doc_id", "text"]).map_batches(
+        prune_docs, batch_format="pandas")
+    sh = shingle_hash_table(docs_pruned, ngram=ngram).materialize()
     sh_src = sh.map_batches(
         lambda t: pa.table({"src": t["doc_id"], "src_sh": t["sh"], "src_n": t["n_sh"]}),
         batch_format="pyarrow",
