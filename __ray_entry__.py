@@ -164,6 +164,83 @@ def _ann_lsh(sf_dir: str):
     )
 
 
+def _ann_lsh_recall(sf_dir: str):
+    """LSH-ANN recall pinned against the (already-oracled) exact top-k
+    (VERDICT r4 task 9): the approximate neighbor lists are written to a
+    parquet the oracle reads as given data; the exact side and the per-query
+    overlap count are recomputed independently by the SQL from the
+    embeddings view, so a recall regression or a neighbor-set drift breaks
+    the hash."""
+    import shutil
+
+    import pandas as pd
+
+    from entity_resolution_ray.pipelines import relational as R
+
+    lsh = _ann_lsh(sf_dir).materialize()
+    oracle_dir = "/tmp/er_pair_oracle/ann_lsh"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    lsh.select_columns(["query_id", "neighbor_id"]).write_parquet(oracle_dir)
+
+    exact = R.q_ann_topk(sf_dir)
+
+    def flag(side):
+        def add(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["query_id", "neighbor_id"]].copy()
+            out["side"] = side
+            return out
+
+        return add
+
+    both = lsh.map_batches(flag("lsh"), batch_format="pandas").union(
+        exact.map_batches(flag("exact"), batch_format="pandas")
+    )
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        lsh_set = set(g.loc[g["side"] == "lsh", "neighbor_id"])
+        ex = g.loc[g["side"] == "exact", "neighbor_id"]
+        n_hit = int(ex.isin(lsh_set).sum())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([g["query_id"].iloc[0]]),
+                "n_hit": pd.Series([n_hit], dtype="int64"),
+                "recall": pd.Series([n_hit / len(ex)], dtype="float64"),
+            }
+        )
+
+    return both.groupby("query_id").map_groups(per_query, batch_format="pandas")
+
+
+ANN_LSH_RECALL_SQL = f"""
+with lsh as (
+  select query_id, neighbor_id
+  from read_parquet('/tmp/er_pair_oracle/ann_lsh/*.parquet')
+),
+e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+q as (select * from e order by vec_id limit 8),
+scored as (
+  select q.vec_id as query_id, e.vec_id as neighbor_id,
+         round(list_inner_product(q.v, e.v)
+               / (sqrt(list_inner_product(q.v, q.v))
+                  * sqrt(list_inner_product(e.v, e.v))), 6) as cosine
+  from q join e on e.vec_id != q.vec_id
+),
+exact as (
+  select query_id, neighbor_id from (
+    select *, row_number() over (partition by query_id
+                                 order by cosine desc, neighbor_id asc) as rn
+    from scored) where rn <= 5
+),
+hits as (
+  select x.query_id, count(l.neighbor_id)::bigint as n_hit,
+         count(*)::bigint as k
+  from exact x left join lsh l using (query_id, neighbor_id)
+  group by x.query_id
+)
+select query_id, n_hit, n_hit::double / k as recall from hits
+"""
+
+
 def _ivf_cache_dir(src: str) -> str:
     """Content-stable index location for a corpus file: md5 of
     (abspath, mtime) — identical across processes, invalidated when the
@@ -531,6 +608,107 @@ ER_COMBINER_BASELINE_SQL = """
 select doc_id, block_key,
        min(doc_id) over (partition by block_key) as cluster_rep
 from read_parquet('/tmp/er_pair_oracle/featured_baseline/*.parquet')
+"""
+
+
+def _er_combiner_incremental_canon(sf_dir: str):
+    """PairwiseIncrementalCombiner under a SQL oracle (reference
+    `am_combiner/combiners/incremental_clustering.py:112-161`): docs sorted
+    by doc_id within a block; each doc joins the cluster of its
+    most-similar predecessor (TF cosine >= 0.3, first-max tie-break) else
+    opens a new cluster.  The order-dependent fold is a recursive CTE
+    carrying the per-block label list (VERDICT r4 task 9).  Featured tf
+    vectors are written to a parquet the oracle reads; cluster ids are
+    relabeled to the canonical min doc_id per cluster on both sides."""
+    import shutil
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.combiners import run_combiner
+    from entity_resolution_ray.stages.joins import hash_join
+
+    featured = _er_featured(sf_dir)
+    oracle_dir = "/tmp/er_pair_oracle/featured_inc"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    featured.select_columns(
+        ["doc_id", "block_key", "tf_idx", "tf_cnt"]
+    ).write_parquet(oracle_dir)
+
+    clusters = run_combiner(featured, "pairwise_incremental").materialize()
+    reps = grouped_aggregate(
+        clusters, "cluster_id", {"cluster_rep": ("doc_id", "min")}, num_buckets=8
+    )
+    out = hash_join(clusters, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_key", "cluster_rep"])
+
+
+ER_COMBINER_INC_SQL = """
+with recursive docs as (
+  select doc_id, block_key, tf_idx, tf_cnt,
+         row_number() over (partition by block_key order by doc_id) as rn
+  from read_parquet('/tmp/er_pair_oracle/featured_inc/*.parquet')
+),
+nblock as (select block_key, count(*) as n from docs group by block_key),
+terms as (
+  select block_key, rn, unnest(tf_idx) as term, unnest(tf_cnt) as cnt
+  from docs
+),
+norms as (
+  select block_key, rn, sqrt(sum(cnt * cnt)) as nrm
+  from terms group by block_key, rn
+),
+normt as (
+  select t.block_key, t.rn, t.term, t.cnt / n.nrm as w
+  from terms t join norms n using (block_key, rn)
+),
+-- cosine of doc i against every predecessor j (both vectors
+-- L2-normalized, matching the combiner's _block_vectors)
+best as materialized (
+  select block_key, i, j, sim from (
+    select block_key, i, j, sim,
+           row_number() over (partition by block_key, i
+                              order by sim desc, j asc) as rk
+    from (
+      select a.block_key, b.rn as i, a.rn as j, sum(a.w * b.w) as sim
+      from normt a join normt b
+        on a.block_key = b.block_key and a.term = b.term and a.rn < b.rn
+      group by a.block_key, b.rn, a.rn))
+  where rk = 1
+),
+fold as (
+  select d.block_key, 1 as rn, [0] as labels, 1 as next_label
+  from docs d where d.rn = 1
+  union all
+  select f.block_key, f.rn + 1,
+         case when b.sim is not null and b.sim >= 0.3
+              then list_append(f.labels, f.labels[b.j])
+              else list_append(f.labels, f.next_label) end,
+         case when b.sim is not null and b.sim >= 0.3
+              then f.next_label else f.next_label + 1 end
+  from fold f
+  join nblock nb using (block_key)
+  left join best b on b.block_key = f.block_key and b.i = f.rn + 1
+  where f.rn < nb.n
+),
+final as (
+  select f.block_key, f.labels
+  from fold f join nblock nb using (block_key)
+  where f.rn = nb.n
+),
+lab as (
+  select block_key, unnest(labels) as label,
+         generate_subscripts(labels, 1) as rn
+  from final
+),
+clusters as (
+  select d.doc_id, d.block_key, l.label
+  from docs d join lab l on l.block_key = d.block_key and l.rn = d.rn
+),
+reps as (
+  select block_key, label, min(doc_id) as cluster_rep
+  from clusters group by block_key, label
+)
+select c.doc_id, c.block_key, r.cluster_rep
+from clusters c join reps r using (block_key, label)
 """
 
 
@@ -1234,6 +1412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
         "load_mentions_csv": R.q_load_mentions_csv,
+        "er_combiner_incremental_canon": _er_combiner_incremental_canon,
+        "ann_lsh_recall": _ann_lsh_recall,
         # --- r5 window: r3-era oracled queries due for rotation ---
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
@@ -1283,11 +1463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_cosine_canon": R.q_doc_tfidf_cosine_canon,
         "jw_part_pairs": R.q_jw_part_pairs,
         "minhash_band_pairs": R.q_minhash_band_pairs,
+        # --- end of the 50-query driver window ---
+        # oracled, driver-green in r4 (rows ≤1 round old; below the window)
         "simhash_pairs": _simhash_pairs,
         "phonetic_codes": R.q_phonetic_codes,
         "decontaminate": R.q_decontaminate,
-        # --- end of the ~50-query driver window ---
-        # oracled, driver-green in r4 (rows ≤1 round old; below the window)
         "passage_dedup": R.q_passage_dedup,
         "doc_terms": _doc_terms,
         "doc_keywords": _doc_keywords,
@@ -1439,6 +1619,8 @@ def oracle_sql() -> dict[str, str]:
         "jw_part_pairs": R.Q_JW_PART_PAIRS_SQL,
         "er_blocks_cutoff_canon": ER_BLOCKS_CUTOFF_SQL,
         "er_combiner_cc_canon": ER_COMBINER_CC_SQL,
+        "er_combiner_incremental_canon": ER_COMBINER_INC_SQL,
+        "ann_lsh_recall": ANN_LSH_RECALL_SQL,
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
         "minhash_band_pairs": R.Q_MINHASH_BAND_PAIRS_SQL,
         "minhash_dedup_canon": R.Q_MINHASH_DEDUP_CANON_SQL,

@@ -46,6 +46,18 @@ class ERConfig:
     # ramp.  Set True when stages hold genuinely expensive state (real NER /
     # embedding models) so setup amortizes across batches per actor.
     use_actor_pools: bool = False
+    # CPU *reservation* per pool actor (not a cap — an actor busy on a
+    # batch uses a whole core).  Near-zero reservation is deliberate: the
+    # pool's kernels are cheap next to the pair-gen shuffle feeding it, so
+    # a full-width pool (one actor per cluster CPU) must not book CPUs
+    # away from the shuffle while its actors sit idle waiting on it.  At
+    # 0.05 the shuffle keeps effectively the whole cluster and scoring
+    # oversubscribes harmlessly; measured flagship pool/stateless ratio
+    # 1.045 @1.2M docs (vs 1.27 at 0.25, 1.45 at width-3/4 × 1.0 CPU) —
+    # the residual gap at small corpora is the ~1.5-2s/stage actor spinup.
+    # Raise toward 1.0 only if per-batch pool work dominates the pipeline
+    # (real NER / embedding models), where the reservation is honest.
+    pool_num_cpus: float = 0.05
     # single-file fixtures read as one block; spread them so the feature
     # stages parallelize (real 100TB inputs arrive pre-sharded)
     min_read_partitions: int = 128
@@ -120,11 +132,11 @@ def _pool_size(cfg: "ERConfig") -> tuple:
 
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     # FIXED-size pool (min == max): all actors start at stage start (no
-    # autoscaling ramp), sized under the CPU count so the feeding
-    # read/shuffle tasks keep running — a pool whose minimum holds every
-    # CPU deadlocks its own input.  Fixed sizing also lets the scorer pool
-    # stream from the pair-gen shuffle with no materialize barrier.
-    n = max(2, (3 * cpus) // 4)
+    # autoscaling ramp).  Full width (one actor per CPU) is safe because
+    # each actor reserves only cfg.pool_num_cpus — the feeding read/
+    # shuffle tasks keep the unreserved CPUs, so the pool streams from
+    # the pair-gen shuffle with no materialize barrier and no deadlock.
+    n = max(2, cpus)
     return (n, n)
 
 
@@ -143,6 +155,7 @@ def featured_documents(docs_ds, cfg: ERConfig | None = None):
             batch_format="pyarrow",
             batch_size=1024,
             concurrency=_pool_size(cfg),
+            num_cpus=cfg.pool_num_cpus,
         )
     else:
         dim = cfg.tf_dim
@@ -198,12 +211,14 @@ def scored_pairs(featured_ds, cfg: ERConfig | None = None, timing_actor=None):
             # fixed-size pool: every actor starts at stage start, so the
             # slow-autoscaling-ramp problem the materialize barrier worked
             # around doesn't exist — stream straight through (r4 task 5)
-            return score_pairs(pairs, config=cfg.score, concurrency=conc)
+            return score_pairs(pairs, config=cfg.score, concurrency=conc,
+                               num_cpus=cfg.pool_num_cpus)
         # autoscaling pool: materialize before it — a streaming sort-shuffle
         # → autoscaling actor pool chain ramps the pool too slowly
         # (measured 3× slower)
         pairs = pairs.materialize()
-        return score_pairs(pairs, config=cfg.score, concurrency=conc)
+        return score_pairs(pairs, config=cfg.score, concurrency=conc,
+                           num_cpus=cfg.pool_num_cpus)
 
     from entity_resolution_ray.stages.scoring import PairScorer
 

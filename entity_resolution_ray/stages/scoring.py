@@ -211,12 +211,18 @@ class PairScorer:
 
 
 def score_pairs(pairs_ds, config: ScoreConfig | None = None,
-                concurrency=(1, 8), batch_size: int = 8192):
-    """Run the scorer actor pool; returns the scored-pair (edge) table."""
+                concurrency=(1, 8), batch_size: int = 16384,
+                num_cpus: float = 0.05):
+    """Run the scorer actor pool; returns the scored-pair (edge) table.
+
+    ``num_cpus`` is the per-actor reservation, deliberately fractional so
+    a full-width pool leaves CPUs booked for the upstream pair-gen
+    shuffle while actors wait on it (see ERConfig.pool_num_cpus)."""
     return pairs_ds.map_batches(
         PairScorer,
         fn_constructor_kwargs={"config": config},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=num_cpus,
     )

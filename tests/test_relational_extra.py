@@ -302,3 +302,19 @@ def test_read_mentions_csv_contract(tmp_path):
     assert list(got["content"]) == ["keep", "solo"]
     assert list(got.columns) == ["blocking_field", "content", "unique_id",
                                  "ground_truth"]
+
+
+def test_r5_oracles_parity_sf0001():
+    """Round-5 oracled queries (VERDICT r4 task 9): the order-dependent
+    incremental-combiner fold vs its recursive-CTE oracle, and LSH-ANN
+    recall pinned against the exact top-k recomputed in SQL."""
+    sf = "/root/testdata/sf0.001"
+    for name in ("er_combiner_incremental_canon", "ann_lsh_recall"):
+        mine = E.queries()[name](sf)
+        if hasattr(mine, "to_pandas"):
+            mine = mine.to_pandas()
+        oracle = _oracle(sf, E.oracle_sql()[name])
+        assert sorted(mine.columns) == sorted(oracle.columns), name
+        assert len(mine) == len(oracle), name
+        pd.testing.assert_frame_equal(_canon(mine), _canon(oracle),
+                                      check_dtype=False, obj=name)
