@@ -130,6 +130,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ("segment_profile", None),
         ("price_zscores", None),
         ("brand_price_regression", None),
+        # round-5 additions (incremental-combiner canon is deliberately NOT
+        # here: its per-block O(n²·vocab) dense fold is sized for the
+        # driver's sf0.01 correctness corpus, not the sf0.1 bench blocks)
+        ("ann_lsh_recall", None),
+        ("load_mentions_csv", None),
+        ("vocab_growth", None),
     ]
     # scaling mode measures the headline wall only: secondaries at the low
     # CPU level would triple each repeat without informing the ratio
