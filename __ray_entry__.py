@@ -1414,6 +1414,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "load_mentions_csv": R.q_load_mentions_csv,
         "er_combiner_incremental_canon": _er_combiner_incremental_canon,
         "ann_lsh_recall": _ann_lsh_recall,
+        "approx_distinct_parts": R.q_approx_distinct_parts,
+        "approx_user_overlap": R.q_approx_user_overlap,
         # --- r5 window: r3-era oracled queries due for rotation ---
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
@@ -1504,7 +1506,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # non-SQL-expressible pipelines (rows-only checks; all oracled
         # queries are above this line)
         "part_kcore": R.q_part_kcore,
-        "approx_user_overlap": R.q_approx_user_overlap,
         "er_clusters": _er_clusters,
         "er_cluster_sizes": _er_cluster_sizes,
         "er_scored_pairs": _er_scored_pairs,
@@ -1512,7 +1513,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "multimodal_features": _multimodal_features,
-        "approx_distinct_parts": R.q_approx_distinct_parts,
         "approx_price_quantiles": R.q_approx_price_quantiles,
         "approx_token_topk": R.q_approx_token_topk,
         "embedding_neardup_lsh": R.q_embedding_neardup_lsh,
@@ -1621,6 +1621,8 @@ def oracle_sql() -> dict[str, str]:
         "er_combiner_cc_canon": ER_COMBINER_CC_SQL,
         "er_combiner_incremental_canon": ER_COMBINER_INC_SQL,
         "ann_lsh_recall": ANN_LSH_RECALL_SQL,
+        "approx_distinct_parts": R.Q_APPROX_DISTINCT_PARTS_SQL,
+        "approx_user_overlap": R.Q_APPROX_USER_OVERLAP_SQL,
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
         "minhash_band_pairs": R.Q_MINHASH_BAND_PAIRS_SQL,
         "minhash_dedup_canon": R.Q_MINHASH_DEDUP_CANON_SQL,

@@ -1073,16 +1073,66 @@ from events a left join events b
 group by a.event_id
 """
 
-# --- 22. HLL approximate distinct (sketch tier; no SQL oracle — approx) -----
+# --- 22. HLL approximate distinct (sketch tier; SQL-oracled bit-exact) ------
 def q_approx_distinct_parts(sf_dir: str):
     """±1.6%-error distinct l_partkey per returnflag via mergeable HLL
     registers (fixed 4 KiB per (key, block) on the wire regardless of value
     cardinality — the 100-TB tier where exact distinct would shuffle the
-    distinct set itself)."""
+    distinct set itself).  Hash-oracled: the whole sketch (md5 value hash,
+    clz rho, register max-merge, bias-corrected estimate with the
+    linear-counting switch) is restated bit-for-bit in
+    ``Q_APPROX_DISTINCT_PARTS_SQL``."""
     from entity_resolution_ray.stages.sketches import hll_distinct
 
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_partkey"])
     return hll_distinct(ds, "l_returnflag", "l_partkey", out_col="n_approx")
+
+
+# The ENTIRE HyperLogLog sketch restated in SQL, bit-for-bit: the value hash
+# is DuckDB's own md5_number_lower (engine: utils/hashing.md5_hash64_array),
+# rho is the exact bit-length of w = (h << 12) mod 2^64 (engine: the clz
+# binary search in sketches._rho — no float log2 on either side), the
+# register sum is an exact HUGEINT Σ 2^(64-reg) with absent registers
+# contributing 2^64 each, and the estimate performs the same float ops in
+# the same literal order (one division; one ln on the linear-counting
+# branch).  An estimate drift of ±1 breaks the hash.
+Q_APPROX_DISTINCT_PARTS_SQL = """
+with h as (
+  select l_returnflag as k, md5_number_lower(l_partkey::varchar) as hh
+  from lineitem
+),
+b as (
+  select k, (hh >> 52)::BIGINT as idx,
+         ((hh::HUGEINT % (1::HUGEINT << 52)) * (1::HUGEINT << 12)) as w
+  from h
+),
+r as (
+  select k, idx,
+         max(case when w = 0 then 53
+             else 65 - (case when (w >> 32) > 0
+                        then 32 + length(printf('%b', (w >> 32)::BIGINT))
+                        else length(printf('%b', (w % 4294967296)::BIGINT))
+                        end)
+             end) as reg
+  from b group by k, idx
+),
+agg as (
+  select k,
+         sum((1::HUGEINT << (64 - reg)))::HUGEINT
+           + (4096 - count(*))::HUGEINT * (1::HUGEINT << 64) as S,
+         (4096 - count(*))::BIGINT as zeros
+  from r group by k
+)
+select k as l_returnflag,
+       floor(case when raw <= 2.5 * 4096 and zeros > 0
+                  then 4096 * ln(4096.0 / zeros) else raw end + 0.5)::BIGINT
+         as n_approx
+from (select k, zeros,
+             0.7213 / (1 + 1.079 / 4096) * 4096 * 4096
+               * 18446744073709551616.0 / S::DOUBLE as raw
+      from agg)
+"""
+
 
 # --- 23. LSH-bucketed embedding near-dup (approximate tier; rows-only) ------
 def q_embedding_neardup_lsh(sf_dir: str):
@@ -3291,15 +3341,83 @@ def q_approx_user_overlap(sf_dir: str):
     """Approximate overlap of the purchase-user and error-user sets from
     one HLL pass per side: |A|, |B|, |A∪B| (register max — HLL is closed
     under union), |A∩B| (inclusion–exclusion), and the Jaccard estimate.
-    ±1.04/√4096 ≈ 1.6% per cardinality; rows-only for the driver (sketch
-    estimates have no SQL restatement), error-pinned by pytest against
-    the exact DuckDB counts."""
+    ±1.04/√4096 ≈ 1.6% per cardinality; error-pinned by pytest against the
+    exact DuckDB counts AND hash-oracled: both sides' register sets, the
+    max-merge union sketch, and all three estimates are restated bit-exact
+    in ``Q_APPROX_USER_OVERLAP_SQL`` (union registers = max over the
+    concatenation of the two sides' registers)."""
     from entity_resolution_ray.stages.sketches import hll_set_ops
 
     ev = _read(sf_dir, "events", columns=["event_type", "user_id"])
     a = ev.filter(expr="event_type == 'purchase'").select_columns(["user_id"])
     b = ev.filter(expr="event_type == 'error'").select_columns(["user_id"])
     return hll_set_ops(a, b, "user_id", p=12)
+
+
+# Same bit-exact HLL restatement as Q_APPROX_DISTINCT_PARTS_SQL, applied to
+# two sketches plus their register-wise max (HLL union closure).  The 'u'
+# tag aggregates the union-all of both sides' register rows — max over the
+# concatenation IS the max-merge.  Inclusion–exclusion and the fixed-point
+# jaccard rounding (floor(x*1e6+0.5)/1e6) mirror sketches.hll_set_ops
+# literally.
+Q_APPROX_USER_OVERLAP_SQL = """
+with hv as (
+  select event_type, md5_number_lower(user_id::varchar) as hh from events
+  where event_type in ('purchase', 'error')
+),
+b as (
+  select case when event_type = 'purchase' then 'a' else 'b' end as side,
+         (hh >> 52)::BIGINT as idx,
+         ((hh::HUGEINT % (1::HUGEINT << 52)) * (1::HUGEINT << 12)) as w
+  from hv
+),
+r as (
+  select side, idx,
+         max(case when w = 0 then 53
+             else 65 - (case when (w >> 32) > 0
+                        then 32 + length(printf('%b', (w >> 32)::BIGINT))
+                        else length(printf('%b', (w % 4294967296)::BIGINT))
+                        end)
+             end) as reg
+  from b group by side, idx
+),
+tagged as (
+  select side as s, idx, reg from r
+  union all
+  select 'u' as s, idx, reg from r
+),
+regs as (select s, idx, max(reg) as reg from tagged group by s, idx),
+agg as (
+  select s,
+         sum((1::HUGEINT << (64 - reg)))::HUGEINT
+           + (4096 - count(*))::HUGEINT * (1::HUGEINT << 64) as ssum,
+         (4096 - count(*))::BIGINT as zeros
+  from regs group by s
+),
+est as (
+  select s,
+         floor(case when raw <= 2.5 * 4096 and zeros > 0
+                    then 4096 * ln(4096.0 / zeros) else raw end + 0.5)::BIGINT
+           as n
+  from (select s, zeros,
+               0.7213 / (1 + 1.079 / 4096) * 4096 * 4096
+                 * 18446744073709551616.0 / ssum::DOUBLE as raw
+        from agg)
+),
+p as (
+  select max(case when s = 'a' then n end) as na,
+         max(case when s = 'b' then n end) as nb,
+         max(case when s = 'u' then n end) as nu
+  from est
+)
+select na as n_a, nb as n_b, nu as n_union,
+       greatest(na + nb - nu, 0) as n_intersect,
+       case when nu > 0
+            then floor(greatest(na + nb - nu, 0) / nu * 1000000 + 0.5)
+                 / 1000000
+            else 0.0 end as jaccard_est
+from p
+"""
 
 
 # --- 71. order-insensitive table digest (validation checksum) -----------------

@@ -11,8 +11,12 @@ block 4 KiB (p=12) on the wire: the right tier when value sets are huge and
 Partial per block (register maxima), merged with an elementwise ``max`` in
 one small groupby — associative/commutative/idempotent, so re-execution or
 duplicate blocks cannot skew the estimate.  Register hash is the
-deterministic pandas 64-bit column hash; estimates are bias-corrected with
-the standard linear-counting small-range switch.
+SQL-reproducible md5-lower-64 of the value's canonical rendering (DuckDB
+``md5_number_lower(v::varchar)``), rho is an exact bit-trick clz, and the
+register sum is an exact integer — so a DuckDB oracle can restate the WHOLE
+sketch bit-for-bit (see ``APPROX_DISTINCT_PARTS_SQL`` in ``__ray_entry__``).
+Estimates are bias-corrected with the standard linear-counting small-range
+switch.
 """
 
 from __future__ import annotations
@@ -32,27 +36,60 @@ def _alpha(m: int) -> float:
 
 
 def _rho(h: np.ndarray, p: int) -> np.ndarray:
-    """Position (1-based) of the first set bit of the low 64-p bits of h,
-    i.e. 64-p - floor(log2(w)) for w>0, capped at 64-p+1 for w==0."""
-    w = (h << np.uint64(p)).astype(np.uint64)
-    out = np.full(len(h), 64 - p + 1, dtype=np.uint8)
-    nz = w > 0
-    # float64 log2 is exact enough here: a one-off rounding near a power of
-    # two perturbs a single register by one, far inside the sketch's error
-    out[nz] = (64 - np.floor(np.log2(w[nz].astype(np.float64)))).astype(
-        np.uint8
-    )
+    """Position (1-based) of the first set bit of the low 64-p bits of h —
+    EXACT vectorized count-leading-zeros (binary search over shift widths),
+    no float log2: a SQL oracle restates it as ``64 - (bit_length(w) - 1)``
+    and both sides must agree on every register.  Capped at 64-p+1 for w==0."""
+    w = (h.astype(np.uint64) << np.uint64(p)).astype(np.uint64)
+    clz = np.zeros(len(h), dtype=np.uint8)
+    v = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        top_zero = (v >> np.uint64(64 - s)) == 0
+        clz[top_zero] += s
+        v[top_zero] = v[top_zero] << np.uint64(s)
+    out = clz + np.uint8(1)  # rho = clz + 1 for w > 0
+    out[w == 0] = 64 - p + 1
     return out
 
 
+def _hash_series(s: pd.Series) -> np.ndarray:
+    """SQL-reproducible 64-bit value hash: DuckDB ``md5_number_lower(v::varchar)``
+    (md5, last 8 bytes little-endian) of the value's canonical decimal/string
+    rendering.  Hashes only the block's UNIQUE values and maps back — md5 is
+    ~1µs/item in Python, so a block with heavy value repetition pays only its
+    distinct count.  Null values hash to 0 (one pseudo-value, like the old
+    pandas-hash path)."""
+    from entity_resolution_ray.utils.hashing import md5_hash64_array
+
+    codes, uniques = pd.factorize(s, use_na_sentinel=True)
+    rendered = [
+        None if u is None or (isinstance(u, float) and np.isnan(u))
+        else str(u)
+        for u in uniques
+    ]
+    uh = md5_hash64_array(rendered)
+    uh = np.concatenate([uh, np.zeros(1, np.uint64)])  # sentinel -1 -> 0
+    return uh[codes]
+
+
 def _estimate(regs: np.ndarray) -> int:
+    """Bias-corrected HLL estimate with the linear-counting small-range
+    switch.  The register sum is computed as an EXACT integer
+    ``S = Σ 2^(64-reg)`` (Python ints; reg=0 contributes 2^64) so a SQL
+    oracle summing the same HUGEINT terms in any order gets the identical
+    value; the only float ops are one division and (small range) one log,
+    each performed in the same literal order as the SQL restatement."""
+    import math
+
     m = len(regs)
-    est = _alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    counts = np.bincount(regs, minlength=1)
+    S = sum(int(c) << (64 - k) for k, c in enumerate(counts) if c)
+    est = _alpha(m) * m * m * 2.0**64 / float(S)
     if est <= 2.5 * m:
-        zeros = int(np.count_nonzero(regs == 0))
+        zeros = int(counts[0])
         if zeros:
-            est = m * np.log(m / zeros)  # linear counting
-    return int(round(est))
+            est = m * math.log(m / zeros)  # linear counting
+    return int(math.floor(est + 0.5))
 
 
 def hll_distinct(
@@ -67,9 +104,7 @@ def hll_distinct(
     m = 1 << p
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(
-            batch[value_col], index=False
-        ).to_numpy(np.uint64)
+        h = _hash_series(batch[value_col])
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rho = _rho(h, p)
         rows = []
@@ -251,8 +286,7 @@ def hll_set_ops(ds_a, ds_b, value_col: str, p: int = 12):
     m = 1 << p
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_pandas_object(
-            batch[value_col], index=False).to_numpy(np.uint64)
+        h = _hash_series(batch[value_col])
         idx = (h >> np.uint64(64 - p)).astype(np.int64)
         rho = _rho(h, p)
         regs = np.zeros(m, np.uint8)
@@ -270,7 +304,12 @@ def hll_set_ops(ds_a, ds_b, value_col: str, p: int = 12):
     na, nb = _estimate(ra), _estimate(rb)
     nu = _estimate(np.maximum(ra, rb))
     ni = max(na + nb - nu, 0)
+    import math
+
+    # floor(x*1e6+0.5)/1e6 instead of round(): SQL restates it literally
+    # (Python round() is banker's, SQL round() half-away — neither matches
+    # the other on ties)
     return pd.DataFrame([{
         "n_a": na, "n_b": nb, "n_union": nu, "n_intersect": ni,
-        "jaccard_est": round(ni / nu, 6) if nu else 0.0,
+        "jaccard_est": math.floor(ni / nu * 1e6 + 0.5) / 1e6 if nu else 0.0,
     }])

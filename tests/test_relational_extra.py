@@ -318,3 +318,52 @@ def test_r5_oracles_parity_sf0001():
         assert len(mine) == len(oracle), name
         pd.testing.assert_frame_equal(_canon(mine), _canon(oracle),
                                       check_dtype=False, obj=name)
+
+
+def test_hll_sql_oracles_bit_exact_sf0001():
+    """The WHOLE HyperLogLog sketch restated in SQL must be bit-exact:
+    md5_number_lower value hash, exact-clz rho, HUGEINT register sum,
+    same-literal-order float estimate (one division; ln on the
+    linear-counting branch).  An estimate drift of ±1 breaks these."""
+    sf = "/root/testdata/sf0.001"
+    for name in ("approx_distinct_parts", "approx_user_overlap"):
+        mine = E.queries()[name](sf)
+        if hasattr(mine, "to_pandas"):
+            mine = mine.to_pandas()
+        oracle = _oracle(sf, E.oracle_sql()[name])
+        assert sorted(mine.columns) == sorted(oracle.columns), name
+        assert len(mine) == len(oracle), name
+        pd.testing.assert_frame_equal(_canon(mine), _canon(oracle),
+                                      check_dtype=False, obj=name)
+
+
+def test_hll_estimate_sql_parity_synthetic_registers():
+    """Branch coverage the testdata can't give (both sf tables sit in the
+    linear-counting regime): bias-corrected branch, full-register vector,
+    and the LC branch all match the SQL estimate expression exactly."""
+    import duckdb
+    import numpy as np
+
+    from entity_resolution_ray.stages.sketches import _estimate
+
+    con = duckdb.connect()
+    rng = np.random.default_rng(0)
+    cases = [
+        rng.integers(0, 20, 4096).astype(np.uint8),      # bias-corrected
+        rng.integers(1, 53, 4096).astype(np.uint8),      # no zero registers
+    ]
+    lc = np.zeros(4096, np.uint8)
+    lc[:40] = 3
+    cases.append(lc)                                     # linear counting
+    for regs in cases:
+        con.register("regs_t", pd.DataFrame({"reg": regs.astype(int)}))
+        got = con.sql("""
+with agg as (select sum((1::HUGEINT << (64 - reg)))::HUGEINT as ssum,
+                    count(*) filter (reg = 0) as zeros from regs_t)
+select floor(case when raw <= 2.5*4096 and zeros > 0
+                  then 4096 * ln(4096.0 / zeros) else raw end + 0.5)::BIGINT
+from (select 0.7213 / (1 + 1.079 / 4096) * 4096 * 4096
+               * 18446744073709551616.0 / ssum::DOUBLE as raw, zeros
+      from agg)
+""").fetchone()[0]
+        assert got == _estimate(regs)
