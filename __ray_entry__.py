@@ -1416,6 +1416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_recall": _ann_lsh_recall,
         "approx_distinct_parts": R.q_approx_distinct_parts,
         "approx_user_overlap": R.q_approx_user_overlap,
+        "part_kcore": R.q_part_kcore,
         # --- r5 window: r3-era oracled queries due for rotation ---
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
@@ -1505,7 +1506,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": R.q_events_pivot,
         # non-SQL-expressible pipelines (rows-only checks; all oracled
         # queries are above this line)
-        "part_kcore": R.q_part_kcore,
         "er_clusters": _er_clusters,
         "er_cluster_sizes": _er_cluster_sizes,
         "er_scored_pairs": _er_scored_pairs,
@@ -1623,6 +1623,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_recall": ANN_LSH_RECALL_SQL,
         "approx_distinct_parts": R.Q_APPROX_DISTINCT_PARTS_SQL,
         "approx_user_overlap": R.Q_APPROX_USER_OVERLAP_SQL,
+        "part_kcore": R.Q_PART_KCORE_SQL,
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
         "minhash_band_pairs": R.Q_MINHASH_BAND_PAIRS_SQL,
         "minhash_dedup_canon": R.Q_MINHASH_DEDUP_CANON_SQL,

@@ -3197,19 +3197,61 @@ window w as (partition by l_returnflag)
 """
 
 
-# --- 67. k-core decomposition (rows-only: data-dependent fixpoint) ------------
+# --- 67. k-core decomposition (hash-oracled via unrolled peel rounds) --------
 KCORE_K = 4
+KCORE_SQL_ROUNDS = 8
 
 
 def q_part_kcore(sf_dir: str):
     """Nodes of the co-ordered part graph surviving the 4-core peel, with
     within-core degrees — the graph-tier densest-region filter (community
-    seeds, spam-ring detection).  Rows-only for the driver (fixpoint
-    iterations are SQL-inexpressible); exactness pinned by a brute-force
-    peel parity test."""
+    seeds, spam-ring detection).  Hash-oracled by the same move as the
+    PageRank oracle: the synchronous peel is unrolled as chained CTEs
+    (``_kcore_sql``), exact whenever the fixpoint converges within the
+    unrolled depth — rounds past convergence are no-ops because the
+    survivor set is monotone.  The testdata's co-order graph is
+    near-regular (min degree ≥ 42 at sf0.01, so k=4 converges in ZERO
+    peels); true multi-round peeling is pinned by a brute-force parity
+    pytest AND by a synthetic skewed-graph test driven through the same
+    SQL generator."""
     from entity_resolution_ray.stages.clustering import k_core
 
     return k_core(_part_cooccurrence_edges(sf_dir), k=KCORE_K)
+
+
+def _kcore_sql(k: int = KCORE_K, rounds: int = KCORE_SQL_ROUNDS,
+               edges_ctes: str = PART_EDGES_SQL_CTES) -> str:
+    """Unrolled Batagelj–Zaveršnik bulk peel: round i keeps edges whose
+    both endpoints had degree >= k in round i-1, re-derives degrees, and
+    the final projection emits the surviving nodes with their within-core
+    degree — bit-identical to ``clustering.k_core`` iff the peel converges
+    within ``rounds`` (monotone survivor set makes extra rounds no-ops).
+    ``edges_ctes`` is pluggable so tests can drive synthetic graphs through
+    the identical generator."""
+    ctes = [
+        edges_ctes,
+        "n0 as (select src as u, dst as v from edges"
+        " union all select dst as u, src as v from edges)",
+    ]
+    prev = "n0"
+    for i in range(rounds + 1):
+        ctes.append(f"d{i} as (select u, count(*) as deg"
+                    f" from {prev} group by u)")
+        if i < rounds:
+            ctes.append(f"s{i} as (select u from d{i} where deg >= {k})")
+            ctes.append(
+                f"n{i + 1} as (select a.u, a.v from n0 a"
+                f" join s{i} x on a.u = x.u join s{i} y on a.v = y.u)"
+            )
+            prev = f"n{i + 1}"
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect u as node, deg as core_deg from d{rounds}"
+        + f" where deg >= {k}"
+    )
+
+
+Q_PART_KCORE_SQL = _kcore_sql()
 
 
 # --- 68. grouped OLS regression (two-pass centered moments) -------------------

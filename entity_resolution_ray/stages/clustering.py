@@ -872,9 +872,11 @@ def k_core(edges, k: int = 3, num_buckets: int = 8, max_rounds: int = 100):
     count is bounded by the graph's degeneracy ordering depth (≪ nodes —
     ``max_rounds`` is a runaway guard, not a tuning knob).
 
-    No SQL oracle: the fixpoint iteration count is data-dependent, which
-    recursive CTEs cannot express with aggregates — parity is pinned by a
-    brute-force peel in pytest instead (rows-only driver check).
+    SQL oracle: the peel unrolls as chained CTEs (``relational._kcore_sql``)
+    — exact whenever the fixpoint converges within the unrolled depth,
+    since the survivor set is monotone and rounds past convergence are
+    no-ops.  Multi-round peel semantics are additionally pinned by a
+    brute-force parity pytest on synthetic skewed graphs.
     """
     import pyarrow as pa
 

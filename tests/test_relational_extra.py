@@ -337,6 +337,47 @@ def test_hll_sql_oracles_bit_exact_sf0001():
                                       check_dtype=False, obj=name)
 
 
+def test_kcore_sql_oracle_multi_round_peel():
+    """The unrolled-CTE k-core oracle must track a TRUE multi-round peel —
+    the testdata's co-order graph is near-regular and converges in zero
+    rounds, so this synthetic skewed graph (5-clique + pendant chain +
+    attached triangle, k=3 peels the chain in waves) drives both the
+    engine and the same SQL generator (`relational._kcore_sql`) through
+    real peel iterations."""
+    import duckdb
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.clustering import k_core
+
+    edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    edges += [(0, 5), (5, 6), (6, 7), (7, 8), (1, 9), (9, 10), (10, 11),
+              (9, 11)]
+    edf = pd.DataFrame(edges, columns=["src", "dst"])
+    mine = k_core(rd.from_pandas(edf), k=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("edge_t", edf)
+    sql = R._kcore_sql(k=3, rounds=6,
+                       edges_ctes="edges as (select src, dst from edge_t)")
+    ref = con.sql(sql).df().sort_values("node").reset_index(drop=True)
+    # the chain 5-8 and the pendant triangle peel away over several rounds;
+    # only the 5-clique survives at k=3
+    assert sorted(mine["node"]) == [0, 1, 2, 3, 4]
+    pd.testing.assert_frame_equal(mine, ref.astype(mine.dtypes.to_dict()),
+                                  obj="kcore_sql")
+
+
+def test_kcore_sql_oracle_parity_sf0001():
+    sf = "/root/testdata/sf0.001"
+    mine = E.queries()["part_kcore"](sf)
+    if hasattr(mine, "to_pandas"):
+        mine = mine.to_pandas()
+    oracle = _oracle(sf, E.oracle_sql()["part_kcore"])
+    assert len(mine) == len(oracle)
+    pd.testing.assert_frame_equal(_canon(mine), _canon(oracle),
+                                  check_dtype=False, obj="part_kcore")
+
+
 def test_hll_estimate_sql_parity_synthetic_registers():
     """Branch coverage the testdata can't give (both sf tables sit in the
     linear-counting regime): bias-corrected branch, full-register vector,
