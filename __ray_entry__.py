@@ -240,6 +240,161 @@ hits as (
 select query_id, n_hit, n_hit::double / k as recall from hits
 """
 
+# identical recall harness for the IVF tier; only the given-data path differs
+ANN_IVF_RECALL_SQL = ANN_LSH_RECALL_SQL.replace(
+    "er_pair_oracle/ann_lsh", "er_pair_oracle/ann_ivf"
+)
+
+
+def _ann_ivf_recall(sf_dir: str):
+    """IVF-ANN recall pinned against the exact top-k, same harness as
+    ``_ann_lsh_recall``: the probe results are written to a parquet the
+    oracle reads as given data; the exact side and per-query overlap are
+    recomputed independently in SQL.  nprobe=4 of 16 lists scans ~1/4 of
+    the corpus, so recall dips exactly where a true neighbor lives in an
+    unprobed list — the pinned hash surfaces any probe-routing
+    regression."""
+    import shutil
+
+    import pandas as pd
+
+    from entity_resolution_ray.pipelines import relational as R
+
+    ivf = _ann_ivf(sf_dir).materialize()
+    oracle_dir = "/tmp/er_pair_oracle/ann_ivf"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    ivf.select_columns(["query_id", "neighbor_id"]).write_parquet(oracle_dir)
+
+    exact = R.q_ann_topk(sf_dir)
+
+    def flag(side):
+        def add(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["query_id", "neighbor_id"]].copy()
+            out["side"] = side
+            return out
+
+        return add
+
+    both = ivf.map_batches(flag("lsh"), batch_format="pandas").union(
+        exact.map_batches(flag("exact"), batch_format="pandas")
+    )
+
+    def per_query(g: pd.DataFrame) -> pd.DataFrame:
+        approx_set = set(g.loc[g["side"] == "lsh", "neighbor_id"])
+        ex = g.loc[g["side"] == "exact", "neighbor_id"]
+        n_hit = int(ex.isin(approx_set).sum())
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series([g["query_id"].iloc[0]]),
+                "n_hit": pd.Series([n_hit], dtype="int64"),
+                "recall": pd.Series([n_hit / len(ex)], dtype="float64"),
+            }
+        )
+
+    return both.groupby("query_id").map_groups(per_query, batch_format="pandas")
+
+
+def _embedding_lsh_recall(sf_dir: str):
+    """Pair-level recall of the LSH-bucketed embedding near-dup tier vs the
+    exact BNL pairs (both already driver queries): the LSH pair set is
+    written to a parquet the oracle reads as given data; the exact pair
+    set, overlap, spurious count, and recall are recomputed independently
+    in SQL from the embeddings view.  The in-bucket verify is an exact
+    cosine, so n_spurious must be 0 — a nonzero value (or a recall drift)
+    breaks the hash."""
+    import shutil
+
+    import pandas as pd
+
+    from entity_resolution_ray.pipelines import relational as R
+
+    lsh = R.q_embedding_neardup_lsh(sf_dir).materialize()
+    oracle_dir = "/tmp/er_pair_oracle/embedding_lsh"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    lsh.select_columns(["src", "dst"]).write_parquet(oracle_dir)
+
+    exact = R.q_embedding_neardup(sf_dir)
+
+    def flag(side):
+        def add(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[["src", "dst"]].copy()
+            out["side"] = side
+            return out
+
+        return add
+
+    both = lsh.map_batches(flag("lsh"), batch_format="pandas").union(
+        exact.map_batches(flag("exact"), batch_format="pandas")
+    )
+
+    def per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        sides = set(g["side"])
+        return pd.DataFrame(
+            {
+                "in_lsh": pd.Series([int("lsh" in sides)], dtype="int64"),
+                "in_exact": pd.Series([int("exact" in sides)], dtype="int64"),
+            }
+        )
+
+    flags = both.groupby(["src", "dst"]).map_groups(
+        per_pair, batch_format="pandas"
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_lsh": pd.Series([int(batch["in_lsh"].sum())], dtype="int64"),
+                "n_exact": pd.Series(
+                    [int(batch["in_exact"].sum())], dtype="int64"),
+                "n_hit": pd.Series(
+                    [int((batch["in_lsh"] & batch["in_exact"]).sum())],
+                    dtype="int64"),
+            }
+        )
+
+    parts = flags.map_batches(partial, batch_format="pandas").take_all()
+    n_lsh = sum(r["n_lsh"] for r in parts)
+    n_exact = sum(r["n_exact"] for r in parts)
+    n_hit = sum(r["n_hit"] for r in parts)
+    import math
+
+    recall = (
+        math.floor(n_hit / n_exact * 1e6 + 0.5) / 1e6 if n_exact else 1.0
+    )
+    return pd.DataFrame(
+        [{
+            "n_lsh": n_lsh, "n_exact": n_exact, "n_hit": n_hit,
+            "n_spurious": n_lsh - n_hit, "recall": recall,
+        }]
+    )
+
+
+EMBEDDING_LSH_RECALL_SQL = """
+with lshp as (
+  select distinct src, dst
+  from read_parquet('/tmp/er_pair_oracle/embedding_lsh/*.parquet')
+),
+e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+exact as (
+  select a.vec_id as src, b.vec_id as dst
+  from e a join e b on a.vec_id < b.vec_id
+  where list_inner_product(a.v, b.v)
+        / (sqrt(list_inner_product(a.v, a.v))
+           * sqrt(list_inner_product(b.v, b.v))) >= 0.45
+),
+c as (
+  select (select count(*) from lshp) as n_lsh,
+         (select count(*) from exact) as n_exact,
+         (select count(*) from exact x join lshp l using (src, dst)) as n_hit
+)
+select n_lsh::BIGINT as n_lsh, n_exact::BIGINT as n_exact,
+       n_hit::BIGINT as n_hit, (n_lsh - n_hit)::BIGINT as n_spurious,
+       case when n_exact > 0
+            then floor(n_hit / n_exact * 1000000 + 0.5) / 1000000
+            else 1.0 end as recall
+from c
+"""
+
 
 def _ivf_cache_dir(src: str) -> str:
     """Content-stable index location for a corpus file: md5 of
@@ -1417,6 +1572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_parts": R.q_approx_distinct_parts,
         "approx_user_overlap": R.q_approx_user_overlap,
         "part_kcore": R.q_part_kcore,
+        "ann_ivf_recall": _ann_ivf_recall,
+        "embedding_lsh_recall": _embedding_lsh_recall,
         # --- r5 window: r3-era oracled queries due for rotation ---
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
@@ -1624,6 +1781,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_parts": R.Q_APPROX_DISTINCT_PARTS_SQL,
         "approx_user_overlap": R.Q_APPROX_USER_OVERLAP_SQL,
         "part_kcore": R.Q_PART_KCORE_SQL,
+        "ann_ivf_recall": ANN_IVF_RECALL_SQL,
+        "embedding_lsh_recall": EMBEDDING_LSH_RECALL_SQL,
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
         "minhash_band_pairs": R.Q_MINHASH_BAND_PAIRS_SQL,
         "minhash_dedup_canon": R.Q_MINHASH_DEDUP_CANON_SQL,

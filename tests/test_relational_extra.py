@@ -309,7 +309,8 @@ def test_r5_oracles_parity_sf0001():
     incremental-combiner fold vs its recursive-CTE oracle, and LSH-ANN
     recall pinned against the exact top-k recomputed in SQL."""
     sf = "/root/testdata/sf0.001"
-    for name in ("er_combiner_incremental_canon", "ann_lsh_recall"):
+    for name in ("er_combiner_incremental_canon", "ann_lsh_recall",
+                 "ann_ivf_recall", "embedding_lsh_recall"):
         mine = E.queries()[name](sf)
         if hasattr(mine, "to_pandas"):
             mine = mine.to_pandas()
