@@ -1574,6 +1574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_kcore": R.q_part_kcore,
         "ann_ivf_recall": _ann_ivf_recall,
         "embedding_lsh_recall": _embedding_lsh_recall,
+        "ddsketch_price_audit": R.q_ddsketch_price_audit,
+        "heavy_hitters_audit": R.q_heavy_hitters_audit,
         # --- r5 window: r3-era oracled queries due for rotation ---
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
@@ -1783,6 +1785,8 @@ def oracle_sql() -> dict[str, str]:
         "part_kcore": R.Q_PART_KCORE_SQL,
         "ann_ivf_recall": ANN_IVF_RECALL_SQL,
         "embedding_lsh_recall": EMBEDDING_LSH_RECALL_SQL,
+        "ddsketch_price_audit": R.Q_DDSKETCH_PRICE_AUDIT_SQL,
+        "heavy_hitters_audit": R.Q_HEAVY_HITTERS_AUDIT_SQL,
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
         "minhash_band_pairs": R.Q_MINHASH_BAND_PAIRS_SQL,
         "minhash_dedup_canon": R.Q_MINHASH_DEDUP_CANON_SQL,

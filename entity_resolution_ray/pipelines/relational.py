@@ -1520,6 +1520,94 @@ def q_approx_price_quantiles(sf_dir: str):
     )
 
 
+# --- 34b. DDSketch guarantee audit (hash-oracled) ----------------------------
+def q_ddsketch_price_audit(sf_dir: str):
+    """The DDSketch ±1% relative-error GUARANTEE under a hash oracle: the
+    sketch's per-flag (p50, p90, p99) answers are written to a parquet the
+    SQL reads as given data; the exact rank-based quantiles (the value at
+    index ceil(q·(n−1)) of the sorted multiset — the sketch's own rank
+    definition, NOT interpolating percentile_cont) are re-derived
+    independently on both sides, and the emitted booleans
+    ``within_p50/p90/p99`` = |approx/exact − 1| ≤ α must agree bit-for-bit.
+    A sketch regression that breaks the error bound — or an exact-side
+    drift — breaks the hash."""
+    import shutil
+
+    from entity_resolution_ray.stages.sketches import dd_quantiles
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice"])
+    approx = dd_quantiles(
+        ds, "l_extendedprice",
+        {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        keys="l_returnflag", alpha=0.01,
+    ).materialize()
+    oracle_dir = "/tmp/er_pair_oracle/ddsketch_price"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    approx.write_parquet(oracle_dir)
+
+    # exact rank-based quantiles: distinct-value counts shuffle (bounded by
+    # price cardinality, never row count), then one tiny per-key fold
+    counts = grouped_aggregate(
+        ds, ["l_returnflag", "l_extendedprice"],
+        {"cnt": ("l_extendedprice", "size")}, num_buckets=16,
+    )
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("l_extendedprice")
+        c = g["cnt"].to_numpy(np.int64).cumsum()
+        n = int(c[-1])
+        vals = g["l_extendedprice"].to_numpy(np.float64)
+        out = {"l_returnflag": g["l_returnflag"].iloc[0], "n": n}
+        for name, q in (("e50", 0.5), ("e90", 0.9), ("e99", 0.99)):
+            r = max(0, min(n - 1, int(np.ceil(q * (n - 1)))))
+            out[name] = vals[np.searchsorted(c, r, side="right")]
+        return pd.DataFrame([out])
+
+    exact = counts.groupby("l_returnflag").map_groups(
+        finish, batch_format="pandas"
+    ).to_pandas()
+    adf = approx.to_pandas()
+    j = adf.merge(exact, on="l_returnflag", suffixes=("_a", ""))
+    return pd.DataFrame({
+        "l_returnflag": j["l_returnflag"],
+        "n": j["n"].astype("int64"),
+        "n_match": (j["n_a"] == j["n"]),
+        "within_p50": (j["p50"] / j["e50"] - 1.0).abs() <= 0.01,
+        "within_p90": (j["p90"] / j["e90"] - 1.0).abs() <= 0.01,
+        "within_p99": (j["p99"] / j["e99"] - 1.0).abs() <= 0.01,
+    })
+
+
+Q_DDSKETCH_PRICE_AUDIT_SQL = """
+with approx as (
+  select * from read_parquet('/tmp/er_pair_oracle/ddsketch_price/*.parquet')
+),
+v as (select l_returnflag as k, l_extendedprice::DOUBLE as x from lineitem),
+cnt as (select k, count(*)::BIGINT as n from v group by k),
+ordered as (
+  select k, x, row_number() over (partition by k order by x) as rn from v
+),
+sel as (
+  select c.k, c.n,
+         max(case when o.rn = least(greatest(ceil(0.5 * (c.n - 1))::BIGINT, 0),
+                                    c.n - 1) + 1 then o.x end) as e50,
+         max(case when o.rn = least(greatest(ceil(0.9 * (c.n - 1))::BIGINT, 0),
+                                    c.n - 1) + 1 then o.x end) as e90,
+         max(case when o.rn = least(greatest(ceil(0.99 * (c.n - 1))::BIGINT, 0),
+                                    c.n - 1) + 1 then o.x end) as e99
+  from cnt c join ordered o on o.k = c.k
+  group by c.k, c.n
+)
+select s.k as l_returnflag, s.n,
+       (a.n = s.n) as n_match,
+       (abs(a.p50 / s.e50 - 1.0) <= 0.01) as within_p50,
+       (abs(a.p90 / s.e90 - 1.0) <= 0.01) as within_p90,
+       (abs(a.p99 / s.e99 - 1.0) <= 0.01) as within_p99
+from sel s join approx a on a.l_returnflag = s.k
+"""
+
+
 # --- 35. approximate heavy hitters over the token stream ---------------------
 def q_approx_token_topk(sf_dir: str):
     """Truncate-and-bound heavy hitters over the exploded token stream:
@@ -1540,6 +1628,114 @@ def q_approx_token_topk(sf_dir: str):
     return heavy_hitters(
         ds.map_batches(explode, batch_format="pyarrow"), "token", k=32
     )
+
+
+# --- 35b. heavy-hitter guarantee audit (hash-oracled) ------------------------
+def q_heavy_hitters_audit(sf_dir: str):
+    """The truncate-and-bound heavy-hitter GUARANTEES under a hash oracle:
+    the sketch's (token, count_min, count_max) report is written to a
+    parquet the SQL reads as given data; the exact token counts are
+    re-derived independently (engine: distributed count; SQL: unnest +
+    group by with the same tokenizer expression the token_topk oracle
+    uses), and both sides emit (n_reported, n_bound_violations,
+    n_guaranteed_missed).  Soundness = every reported token's true count
+    lies in [count_min, count_max]; completeness = every token whose true
+    count exceeds the summed error mass is reported.  Either violated →
+    nonzero counter → hash break."""
+    import shutil
+
+    approx = q_approx_token_topk(sf_dir).materialize()
+    oracle_dir = "/tmp/er_pair_oracle/heavy_hitters"
+    shutil.rmtree(oracle_dir, ignore_errors=True)
+    approx.write_parquet(oracle_dir)
+
+    adf = approx.to_pandas()  # k+? rows — sketch-sized, never corpus-sized
+    err = int((adf["count_max"] - adf["count_min"]).max()) if len(adf) else 0
+    bounds = {
+        t: (int(lo), int(hi))
+        for t, lo, hi in zip(adf["token"], adf["count_min"],
+                             adf["count_max"])
+    }
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        from entity_resolution_ray.functions.text import tokenize_words
+
+        counts: dict[str, int] = {}
+        for text in batch["text"].to_pylist():
+            for tok in tokenize_words(text or ""):
+                counts[tok] = counts.get(tok, 0) + 1
+        return pa.table(
+            {"token": pa.array(list(counts.keys()), pa.string()),
+             "cnt": pa.array(list(counts.values()), pa.int64())}
+        )
+
+    partial = ds.map_batches(explode, batch_format="pyarrow")
+    exact = partial.groupby("token").aggregate(Sum("cnt", alias_name="cnt"))
+
+    # audit each exact row against the broadcast sketch report (the report
+    # is tiny; the exact side streams)
+    def audit(batch: pd.DataFrame) -> pd.DataFrame:
+        viol = 0
+        missed = 0
+        seen = 0
+        for tok, cnt in zip(batch["token"], batch["cnt"]):
+            b = bounds.get(tok)
+            if b is not None:
+                seen += 1
+                if not (b[0] <= cnt <= b[1]):
+                    viol += 1
+            elif cnt > err:
+                missed += 1
+        return pd.DataFrame(
+            {"seen": pd.Series([seen], dtype="int64"),
+             "viol": pd.Series([viol], dtype="int64"),
+             "missed": pd.Series([missed], dtype="int64")}
+        )
+
+    parts = exact.map_batches(audit, batch_format="pandas").take_all()
+    seen = sum(r["seen"] for r in parts)
+    viol = sum(r["viol"] for r in parts)
+    missed = sum(r["missed"] for r in parts)
+    # reported tokens absent from the corpus entirely would violate
+    # count_min >= 1; count them as bound violations too
+    viol += len(bounds) - seen if len(bounds) > seen else 0
+    return pd.DataFrame(
+        [{
+            "n_reported": len(adf),
+            "n_bound_violations": viol,
+            "n_guaranteed_missed": missed,
+        }]
+    )
+
+
+Q_HEAVY_HITTERS_AUDIT_SQL = f"""
+with approx as (
+  select * from read_parquet('/tmp/er_pair_oracle/heavy_hitters/*.parquet')
+),
+exact as (
+  select t as token, count(*)::BIGINT as cnt
+  from (select unnest({oracle_token_expr()}) as t from documents)
+  group by t
+),
+err as (select coalesce(max(count_max - count_min), 0) as e from approx),
+bounds as (
+  select count(*)::BIGINT as n_reported,
+         coalesce(sum(case when x.cnt is null or x.cnt < a.count_min
+                                or x.cnt > a.count_max
+                           then 1 else 0 end), 0)::BIGINT as n_viol
+  from approx a left join exact x using (token)
+),
+missed as (
+  select count(*)::BIGINT as n_missed
+  from exact x, err
+  where x.cnt > err.e and x.token not in (select token from approx)
+)
+select b.n_reported, b.n_viol as n_bound_violations,
+       m.n_missed as n_guaranteed_missed
+from bounds b, missed m
+"""
 
 
 # --- 36. multi-way join: revenue by region, local suppliers only -------------
