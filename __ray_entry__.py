@@ -1516,6 +1516,103 @@ def _er_clusters_split(sf_dir: str):
                           mode="delete")
 
 
+def _er_clusters_split_canon(sf_dir: str):
+    """Delete-mode splitter under a SQL oracle (§2.10, reference
+    `am_combiner/splitters/common.py:181-216`): per original cluster,
+    negative edges (both docs carry DOBs and the year ranges sit > 5 apart
+    — `utils/adjacency.py:117-172` range semantics) are removed from the
+    accepted-pair subgraph and components re-close.  The given data (per-doc
+    cluster + dob range, accepted pairs) goes to parquet; DuckDB re-derives
+    the negative predicate, the kept edge set, and the recursive-CTE
+    closure independently.  Cluster ids canonicalized to min doc_id on both
+    sides."""
+    import shutil
+
+    import pyarrow as pa
+
+    from entity_resolution_ray.pipelines.er import ERConfig, scored_pairs
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.clustering import assign_clusters
+    from entity_resolution_ray.stages.joins import hash_join
+    from entity_resolution_ray.stages.splitting import (
+        attach_cluster_pairs,
+        split_clusters,
+    )
+
+    cfg = ERConfig()
+    featured = _er_featured(sf_dir)
+    edges = scored_pairs(featured, cfg).materialize()
+    accepted = edges.map_batches(
+        lambda t: t.select(["src", "dst", "weight", "block_key"]).filter(
+            t["accepted"]),
+        batch_format="pyarrow",
+    ).materialize()
+    clustered = assign_clusters(
+        featured.select_columns(["doc_id", "block_key", "dob_years"]),
+        accepted, n_edges_hint=edges.count(),
+    ).materialize()
+
+    docs_dir = "/tmp/er_pair_oracle/split_docs"
+    pairs_dir = "/tmp/er_pair_oracle/split_pairs"
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+
+    def doc_flat(batch: pa.Table) -> pa.Table:
+        dob = batch["dob_years"].to_pylist()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "cluster_id": batch["cluster_id"],
+            "dob_min": pa.array(
+                [float(min(v)) if v else None for v in dob], pa.float64()),
+            "dob_max": pa.array(
+                [float(max(v)) if v else None for v in dob], pa.float64()),
+            "has_dob": pa.array([bool(v) for v in dob], pa.bool_()),
+        })
+
+    clustered.map_batches(doc_flat, batch_format="pyarrow") \
+        .write_parquet(docs_dir)
+    accepted.select_columns(["src", "dst"]).write_parquet(pairs_dir)
+
+    with_pairs = attach_cluster_pairs(clustered, accepted)
+    split = split_clusters(with_pairs, negator_col="dob_years", distance=5,
+                           mode="delete")
+    reps = grouped_aggregate(
+        split, "cluster_id", {"cluster_rep": ("doc_id", "min")}, num_buckets=8
+    )
+    out = hash_join(split, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "cluster_rep"])
+
+
+ER_CLUSTERS_SPLIT_SQL = """
+with recursive docs as (
+  select doc_id, cluster_id, dob_min, dob_max, has_dob
+  from read_parquet('/tmp/er_pair_oracle/split_docs/*.parquet')
+),
+pos as (
+  select distinct src, dst
+  from read_parquet('/tmp/er_pair_oracle/split_pairs/*.parquet')
+),
+kept as (
+  select p.src, p.dst
+  from pos p
+  join docs a on a.doc_id = p.src
+  join docs b on b.doc_id = p.dst
+  where a.cluster_id = b.cluster_id
+    and not (a.has_dob and b.has_dob
+             and greatest(a.dob_min, b.dob_min)
+                 - least(a.dob_max, b.dob_max) > 5)
+),
+bi as (select src as a, dst as b from kept union select dst, src from kept),
+reach as (
+  select doc_id as node, doc_id as r from docs
+  union
+  select bi.a, reach.r from bi join reach on reach.node = bi.b
+),
+comp as (select node as doc_id, min(r) as cluster_rep from reach group by node)
+select d.doc_id, c.cluster_rep from docs d join comp c using (doc_id)
+"""
+
+
 def _doc_topics(sf_dir: str):
     import ray.data as rd
 
@@ -1576,6 +1673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_recall": _embedding_lsh_recall,
         "ddsketch_price_audit": R.q_ddsketch_price_audit,
         "heavy_hitters_audit": R.q_heavy_hitters_audit,
+        "er_clusters_split_canon": _er_clusters_split_canon,
         # --- r5 window: r3-era oracled queries due for rotation ---
         "daily_active": R.q_daily_active,
         "events_neighbors": R.q_events_neighbors,
@@ -1787,6 +1885,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_lsh_recall": EMBEDDING_LSH_RECALL_SQL,
         "ddsketch_price_audit": R.Q_DDSKETCH_PRICE_AUDIT_SQL,
         "heavy_hitters_audit": R.Q_HEAVY_HITTERS_AUDIT_SQL,
+        "er_clusters_split_canon": ER_CLUSTERS_SPLIT_SQL,
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,
         "minhash_band_pairs": R.Q_MINHASH_BAND_PAIRS_SQL,
         "minhash_dedup_canon": R.Q_MINHASH_DEDUP_CANON_SQL,

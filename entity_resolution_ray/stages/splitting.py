@@ -97,6 +97,7 @@ def split_clusters(clustered_with_pairs, negator_col: str = "dob_years",
         neg = _negative_matrix(values, distance)
         index = {d: i for i, d in enumerate(group[S.DOC_ID])}
         pos = np.zeros((n, n), dtype=float)
+        present = np.zeros((n, n), dtype=bool)
         for plist in group["pairs"]:
             if plist is None:
                 continue
@@ -106,9 +107,16 @@ def split_clusters(clustered_with_pairs, negator_col: str = "dob_years",
                 if a is None or b is None:
                     continue
                 pos[a, b] = pos[b, a] = max(pos[a, b], item["weight"])
+                present[a, b] = present[b, a] = True
 
         if mode == "delete":
-            adj = (pos > 0) & ~neg
+            # presence, not weight: an accepted pair with keyword-overlap
+            # weight 0 (accepted on the cosine/JW score channel) is still a
+            # positive edge — delete-mode removes only NEGATIVE edges
+            # (reference splitters/common.py:181-216; a `pos > 0` test here
+            # silently severed weight-0 accepted edges, caught by the
+            # er_clusters_split_canon SQL oracle)
+            adj = present & ~neg
             ii, jj = np.where(np.triu(adj, 1))
             sub = union_find(n, ii.astype(np.int64), jj.astype(np.int64))
             return _relabel(group, sub)

@@ -128,6 +128,30 @@ def test_splitter_breaks_dob_conflict(fixture_1k):
     assert m["a"] == m["b"] and m["a"] != m["c"]
 
 
+def test_splitter_keeps_weight_zero_accepted_edge():
+    """Regression (r5, caught by the er_clusters_split_canon SQL oracle):
+    an accepted pair with keyword-overlap weight 0 (accepted on the
+    cosine/JW score channel) is still a positive edge — delete-mode must
+    remove only NEGATIVE edges, so two same-DOB docs joined by a weight-0
+    pair stay together."""
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.splitting import split_clusters
+
+    rows = pd.DataFrame(
+        {
+            S.DOC_ID: ["a", "b"],
+            S.BLOCK_KEY: ["k"] * 2,
+            S.CLUSTER_ID: ["c0"] * 2,
+            "dob_years": [[1905], [1905]],
+            "pairs": [[{"src": "a", "dst": "b", "weight": 0.0}], []],
+        }
+    )
+    out = split_clusters(rd.from_pandas(rows), distance=5, mode="delete").to_pandas()
+    m = dict(zip(out[S.DOC_ID], out[S.CLUSTER_ID]))
+    assert m["a"] == m["b"]
+
+
 def test_feature_based_blocker_groups_shared_keys(fixture_1k):
     from entity_resolution_ray.stages.blockers import feature_based_blocker
 
