@@ -1546,8 +1546,9 @@ def q_ddsketch_price_audit(sf_dir: str):
     shutil.rmtree(oracle_dir, ignore_errors=True)
     approx.write_parquet(oracle_dir)
 
-    # exact rank-based quantiles: distinct-value counts shuffle (bounded by
-    # price cardinality, never row count), then one tiny per-key fold
+    # exact rank-based quantiles: distinct-(flag, price) counts shuffle —
+    # near row count for continuous prices, fine for an audit query (not a
+    # bench pipeline; the sketch itself stays one-pass) — then a per-key fold
     counts = grouped_aggregate(
         ds, ["l_returnflag", "l_extendedprice"],
         {"cnt": ("l_extendedprice", "size")}, num_buckets=16,

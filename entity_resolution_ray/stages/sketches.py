@@ -61,12 +61,18 @@ def _hash_series(s: pd.Series) -> np.ndarray:
     pandas-hash path)."""
     from entity_resolution_ray.utils.hashing import md5_hash64_array
 
+    def render(u):
+        if u is None or (isinstance(u, float) and np.isnan(u)):
+            return None
+        # a nullable int column arrives as float64 (pandas promotion):
+        # str(2.0) = '2.0' but SQL int::varchar = '2' — render integral
+        # floats as ints so the hash matches the SQL restatement
+        if isinstance(u, float) and u.is_integer():
+            return str(int(u))
+        return str(u)
+
     codes, uniques = pd.factorize(s, use_na_sentinel=True)
-    rendered = [
-        None if u is None or (isinstance(u, float) and np.isnan(u))
-        else str(u)
-        for u in uniques
-    ]
+    rendered = [render(u) for u in uniques]
     uh = md5_hash64_array(rendered)
     uh = np.concatenate([uh, np.zeros(1, np.uint64)])  # sentinel -1 -> 0
     return uh[codes]

@@ -381,6 +381,27 @@ def test_kcore_sql_oracle_parity_sf0001():
                                   check_dtype=False, obj="part_kcore")
 
 
+def test_hll_hash_series_canonical_rendering():
+    """The HLL value hash must match DuckDB md5_number_lower(v::varchar)
+    even when pandas promotes a nullable int column to float64 (str(2.0)
+    = '2.0' but SQL renders '2'); nulls hash to 0."""
+    import duckdb
+
+    from entity_resolution_ray.stages.sketches import _hash_series
+
+    con = duckdb.connect()
+    s = pd.Series([1, None, 2, 2])  # nullable int -> float64 dtype
+    ref = [r[0] or 0 for r in con.sql(
+        "select md5_number_lower(v::varchar)"
+        " from (values ('1'),(NULL),('2'),('2')) t(v)").fetchall()]
+    assert [int(x) for x in _hash_series(s)] == [int(r) for r in ref]
+    s2 = pd.Series(["x", "y", None])
+    ref2 = [r[0] or 0 for r in con.sql(
+        "select md5_number_lower(v)"
+        " from (values ('x'),('y'),(NULL)) t(v)").fetchall()]
+    assert [int(x) for x in _hash_series(s2)] == [int(r) for r in ref2]
+
+
 def test_hll_estimate_sql_parity_synthetic_registers():
     """Branch coverage the testdata can't give (both sf tables sit in the
     linear-counting regime): bias-corrected branch, full-register vector,
