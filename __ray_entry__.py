@@ -72,6 +72,69 @@ def _er_cluster_sizes(sf_dir: str):
     return sizes.groupby("n_docs").aggregate(Count(alias_name="n_clusters"))
 
 
+def _er_cluster_sizes_canon(sf_dir: str):
+    """Flagship cluster-size census under a SQL oracle.  The flagship's
+    cluster labels are hash-valued (hex of the component's min doc-id hash)
+    so the raw ``er_cluster_sizes`` stays rows-only, but the SIZE HISTOGRAM
+    is label-invariant: the given data (doc universe + accepted pairs, both
+    deterministic and themselves hash-oracled via ``er_scored_pairs_canon``)
+    goes to parquet and DuckDB independently re-derives the connected
+    components with a recursive CTE, then the same (n_docs, n_clusters)
+    census — pinning the whole CC + census chain end-to-end (reference
+    census analogue: `am_combiner/qa/cluster_stats` size distribution)."""
+    import shutil
+
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from entity_resolution_ray.pipelines.er import ERConfig, scored_pairs
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.clustering import assign_clusters
+
+    cfg = ERConfig()
+    featured = _er_featured(sf_dir)
+    edges = scored_pairs(featured, cfg).materialize()
+    accepted = edges.map_batches(
+        lambda t: t.select(["block_key", "src", "dst"]).filter(t["accepted"]),
+        batch_format="pyarrow",
+    ).materialize()
+    docs = featured.select_columns(["doc_id"]).materialize()
+
+    docs_dir = "/tmp/er_pair_oracle/census_docs"
+    pairs_dir = "/tmp/er_pair_oracle/census_pairs"
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    docs.write_parquet(docs_dir)
+    accepted.select_columns(["src", "dst"]).write_parquet(pairs_dir)
+
+    clustered = assign_clusters(docs, accepted,
+                                n_edges_hint=accepted.count())
+    sizes = grouped_aggregate(
+        clustered, "cluster_id", {"n_docs": ("doc_id", "size")}, num_buckets=8
+    )
+    return sizes.groupby("n_docs").aggregate(Count(alias_name="n_clusters"))
+
+
+ER_CLUSTER_SIZES_SQL = """
+with recursive docs as (
+  select doc_id from read_parquet('/tmp/er_pair_oracle/census_docs/*.parquet')
+),
+pos as (
+  select distinct src, dst
+  from read_parquet('/tmp/er_pair_oracle/census_pairs/*.parquet')
+),
+bi as (select src as a, dst as b from pos union select dst, src from pos),
+reach as (
+  select doc_id as node, doc_id as r from docs
+  union
+  select bi.a, reach.r from bi join reach on reach.node = bi.b
+),
+comp as (select node, min(r) as rep from reach group by node),
+sizes as (select rep, count(*) as n_docs from comp group by rep)
+select n_docs, count(*) as n_clusters from sizes group by n_docs
+"""
+
+
 def _er_scored_pairs(sf_dir: str):
     from entity_resolution_ray.pipelines.er import ERConfig, scored_pairs
 
@@ -1663,6 +1726,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "er_cluster_sizes_canon": _er_cluster_sizes_canon,
+        "approx_price_quantiles": R.q_approx_price_quantiles,
         "load_mentions_csv": R.q_load_mentions_csv,
         "er_combiner_incremental_canon": _er_combiner_incremental_canon,
         "ann_lsh_recall": _ann_lsh_recall,
@@ -1685,7 +1750,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_totals": R.q_customer_order_totals,
         "orders_cube": R.q_orders_cube,
         "events_ntile": R.q_events_ntile,
-        "lineitem_unpivot": R.q_lineitem_unpivot,
         "region_revenue": R.q_region_revenue,
         "fuzzy_part_pairs": R.q_fuzzy_part_pairs,
         "brand_set_ops": R.q_brand_set_ops,
@@ -1714,6 +1778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": R.q_vocab_growth,
         "event_transitions": R.q_event_transitions,
         "er_scored_pairs_canon": _er_scored_pairs_canon,
+        # --- end of the 50-query driver window ---
+        # oracled, driver-green in r3/r4 (rows ≤2 rounds old; below the window)
+        "lineitem_unpivot": R.q_lineitem_unpivot,
         "er_pair_weights": _er_pair_weights,
         "minhash_dedup_canon": R.q_minhash_dedup_canon,
         "er_combiner_cc_canon": _er_combiner_cc_canon,
@@ -1723,8 +1790,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_cosine_canon": R.q_doc_tfidf_cosine_canon,
         "jw_part_pairs": R.q_jw_part_pairs,
         "minhash_band_pairs": R.q_minhash_band_pairs,
-        # --- end of the 50-query driver window ---
-        # oracled, driver-green in r4 (rows ≤1 round old; below the window)
         "simhash_pairs": _simhash_pairs,
         "phonetic_codes": R.q_phonetic_codes,
         "decontaminate": R.q_decontaminate,
@@ -1770,7 +1835,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "multimodal_features": _multimodal_features,
-        "approx_price_quantiles": R.q_approx_price_quantiles,
         "approx_token_topk": R.q_approx_token_topk,
         "embedding_neardup_lsh": R.q_embedding_neardup_lsh,
         "er_combiner_baseline": _er_combiner("current_production"),
@@ -1796,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "er_cluster_sizes_canon": ER_CLUSTER_SIZES_SQL,
         "load_mentions_csv": R.Q_LOAD_MENTIONS_CSV_SQL,
         "er_pair_weights": ER_PAIR_WEIGHTS_SQL,
         "er_scored_pairs_canon": ER_SCORED_PAIRS_CANON_SQL,
@@ -1884,6 +1949,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_recall": ANN_IVF_RECALL_SQL,
         "embedding_lsh_recall": EMBEDDING_LSH_RECALL_SQL,
         "ddsketch_price_audit": R.Q_DDSKETCH_PRICE_AUDIT_SQL,
+        "approx_price_quantiles": R.Q_APPROX_PRICE_QUANTILES_SQL,
         "heavy_hitters_audit": R.Q_HEAVY_HITTERS_AUDIT_SQL,
         "er_clusters_split_canon": ER_CLUSTERS_SPLIT_SQL,
         "er_combiner_baseline_canon": ER_COMBINER_BASELINE_SQL,

@@ -1507,8 +1507,12 @@ from (unpivot (select l_orderkey, l_linenumber, l_quantity,
 # --- 34. one-pass approximate quantiles (DDSketch buckets) -------------------
 def q_approx_price_quantiles(sf_dir: str):
     """Relative-error (±1%) streaming quantiles per return flag — the
-    one-pass mergeable complement of the exact percentile queries; no
-    oracle (approximate by design), error bound pinned in tests."""
+    one-pass mergeable complement of the exact percentile queries.  The
+    sketch is deterministic (bucket counts merge by SUM, order-free), so
+    despite being approximate it carries a FULL restatement oracle:
+    ``Q_APPROX_PRICE_QUANTILES_SQL`` re-derives the entire sketch in
+    DuckDB; the error-bound guarantee is separately audited by
+    ``q_ddsketch_price_audit``."""
     from entity_resolution_ray.stages.sketches import dd_quantiles
 
     ds = _read(sf_dir, "lineitem",
@@ -1578,6 +1582,65 @@ def q_ddsketch_price_audit(sf_dir: str):
         "within_p90": (j["p90"] / j["e90"] - 1.0).abs() <= 0.01,
         "within_p99": (j["p99"] / j["e99"] - 1.0).abs() <= 0.01,
     })
+
+
+Q_APPROX_PRICE_QUANTILES_SQL = """
+-- The WHOLE DDSketch restated in SQL, independently re-derived from the
+-- lineitem table (no given data): signed log-gamma bucketing (ceil of
+-- libm ln ratios — numpy and DuckDB agree bit-for-bit on this machine,
+-- verified over all fixture scales), integer bucket counts, the sketch's
+-- rank rule r = clamp(ceil(q*(n-1))) with c > r searchsorted-right
+-- selection, and the 2*gamma^b/(gamma+1) representative value.  Every
+-- float literal is forced ::DOUBLE so DuckDB's decimal arithmetic cannot
+-- diverge from numpy's IEEE doubles at ceil boundaries.
+with v as (
+  select l_returnflag as k, l_extendedprice::DOUBLE as x
+  from lineitem where l_extendedprice is not null
+),
+b as (
+  select k,
+         case when x > 0 then 1 when x < 0 then -1 else 0 end as sgn,
+         case when x = 0 then 0
+              else ceil(ln(abs(x))
+                        / ln((1 + 0.01::DOUBLE) / (1 - 0.01::DOUBLE)))::BIGINT
+         end as bk
+  from v
+),
+cnts as (select k, sgn, bk, count(*)::BIGINT as cnt from b group by 1, 2, 3),
+ordered as (
+  select k, sgn, bk, cnt,
+         sum(cnt) over (
+           partition by k
+           order by sgn,
+                    case when sgn < 0 then -bk when sgn > 0 then bk else 0 end
+           rows between unbounded preceding and current row)::BIGINT as c,
+         (sum(cnt) over (partition by k))::BIGINT as n,
+         row_number() over (
+           partition by k
+           order by sgn,
+                    case when sgn < 0 then -bk when sgn > 0 then bk else 0 end
+         ) as pos,
+         case when sgn = 0 then 0.0::DOUBLE
+              else sgn * (2.0::DOUBLE
+                          * power((1 + 0.01::DOUBLE) / (1 - 0.01::DOUBLE), bk)
+                          / ((1 + 0.01::DOUBLE) / (1 - 0.01::DOUBLE) + 1))
+         end as val
+  from cnts
+),
+r as (
+  select *,
+    least(greatest(ceil((0.5::DOUBLE)  * (n - 1))::BIGINT, 0), n - 1) as r50,
+    least(greatest(ceil((0.9::DOUBLE)  * (n - 1))::BIGINT, 0), n - 1) as r90,
+    least(greatest(ceil((0.99::DOUBLE) * (n - 1))::BIGINT, 0), n - 1) as r99
+  from ordered
+)
+select k as l_returnflag,
+       min_by(val, pos) filter (where c > r50) as p50,
+       min_by(val, pos) filter (where c > r90) as p90,
+       min_by(val, pos) filter (where c > r99) as p99,
+       max(n) as n
+from r group by k
+"""
 
 
 Q_DDSKETCH_PRICE_AUDIT_SQL = """

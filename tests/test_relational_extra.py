@@ -312,7 +312,8 @@ def test_r5_oracles_parity_sf0001():
     for name in ("er_combiner_incremental_canon", "ann_lsh_recall",
                  "ann_ivf_recall", "embedding_lsh_recall",
                  "ddsketch_price_audit", "heavy_hitters_audit",
-                 "er_clusters_split_canon"):
+                 "er_clusters_split_canon", "er_cluster_sizes_canon",
+                 "approx_price_quantiles"):
         mine = E.queries()[name](sf)
         if hasattr(mine, "to_pandas"):
             mine = mine.to_pandas()
