@@ -135,6 +135,69 @@ select n_docs, count(*) as n_clusters from sizes group by n_docs
 """
 
 
+def _er_clusters_canon(sf_dir: str):
+    """Flagship cluster MEMBERSHIP under a SQL oracle — strictly stronger
+    than the size census: every (doc_id, cluster_rep) assignment is pinned,
+    where cluster_rep is the lexicographic-min doc_id of the connected
+    component (a label-invariant canonical relabel of the engine's
+    hash-valued cluster ids).  Given data = doc universe + accepted pairs
+    (both deterministic, pairs themselves hash-oracled via
+    ``er_scored_pairs_canon``) written to parquet; DuckDB re-derives the
+    components with a recursive CTE and emits the same canonical labels
+    (reference parity: `am_combiner/combiners/graph_based.py:12-69`
+    cluster assignment, here over the flagship scorer's accept set)."""
+    import shutil
+
+    from entity_resolution_ray.pipelines.er import ERConfig, scored_pairs
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.clustering import assign_clusters
+    from entity_resolution_ray.stages.joins import hash_join
+
+    cfg = ERConfig()
+    featured = _er_featured(sf_dir)
+    edges = scored_pairs(featured, cfg).materialize()
+    accepted = edges.map_batches(
+        lambda t: t.select(["block_key", "src", "dst"]).filter(t["accepted"]),
+        batch_format="pyarrow",
+    ).materialize()
+    docs = featured.select_columns(["doc_id"]).materialize()
+
+    docs_dir = "/tmp/er_pair_oracle/members_docs"
+    pairs_dir = "/tmp/er_pair_oracle/members_pairs"
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    docs.write_parquet(docs_dir)
+    accepted.select_columns(["src", "dst"]).write_parquet(pairs_dir)
+
+    clustered = assign_clusters(docs, accepted,
+                                n_edges_hint=accepted.count())
+    reps = grouped_aggregate(
+        clustered, "cluster_id", {"cluster_rep": ("doc_id", "min")},
+        num_buckets=8,
+    )
+    out = hash_join(clustered, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "cluster_rep"])
+
+
+ER_CLUSTERS_CANON_SQL = """
+with recursive docs as (
+  select doc_id from read_parquet('/tmp/er_pair_oracle/members_docs/*.parquet')
+),
+pos as (
+  select distinct src, dst
+  from read_parquet('/tmp/er_pair_oracle/members_pairs/*.parquet')
+),
+bi as (select src as a, dst as b from pos union select dst, src from pos),
+reach as (
+  select doc_id as node, doc_id as r from docs
+  union
+  select bi.a, reach.r from bi join reach on reach.node = bi.b
+),
+comp as (select node, min(r) as rep from reach group by node)
+select node as doc_id, rep as cluster_rep from comp
+"""
+
+
 def _er_scored_pairs(sf_dir: str):
     from entity_resolution_ray.pipelines.er import ERConfig, scored_pairs
 
@@ -1726,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "er_clusters_canon": _er_clusters_canon,
         "er_cluster_sizes_canon": _er_cluster_sizes_canon,
         "approx_price_quantiles": R.q_approx_price_quantiles,
         "load_mentions_csv": R.q_load_mentions_csv,
@@ -1777,9 +1841,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r5 window: touched-this-round + flagship canonicals ---
         "vocab_growth": R.q_vocab_growth,
         "event_transitions": R.q_event_transitions,
-        "er_scored_pairs_canon": _er_scored_pairs_canon,
         # --- end of the 50-query driver window ---
         # oracled, driver-green in r3/r4 (rows ≤2 rounds old; below the window)
+        "er_scored_pairs_canon": _er_scored_pairs_canon,
         "lineitem_unpivot": R.q_lineitem_unpivot,
         "er_pair_weights": _er_pair_weights,
         "minhash_dedup_canon": R.q_minhash_dedup_canon,
@@ -1860,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "er_clusters_canon": ER_CLUSTERS_CANON_SQL,
         "er_cluster_sizes_canon": ER_CLUSTER_SIZES_SQL,
         "load_mentions_csv": R.Q_LOAD_MENTIONS_CSV_SQL,
         "er_pair_weights": ER_PAIR_WEIGHTS_SQL,
