@@ -1058,6 +1058,108 @@ def _er_combiner_model(sf_dir: str):
     return run_combiner(_er_featured(sf_dir), make_model_combiner(model, th=0.9))
 
 
+def _er_combiner_model_canon(sf_dir: str):
+    """Model combiner under a SQL oracle, splitter-style: the model's
+    per-block pair PROBABILITIES (same ``project_block_vectors`` +
+    ``NumpyLogisticPairModel`` the combiner itself runs, emitted as pairs
+    instead of labels) go to parquet as given data; DuckDB independently
+    applies the 0.9 accept threshold and re-derives the per-block
+    connected components with a recursive CTE.  The engine side relabels
+    ``run_combiner``'s hash cluster ids to the canonical min doc_id per
+    (block_key, cluster) so the compare is hash-exact — pinning the
+    threshold rule + closure of the sklearn-hook combiner (reference
+    `am_combiner/combiners/ml.py:274-345`)."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.combiners import (
+        NumpyLogisticPairModel,
+        _sorted,
+        make_model_combiner,
+        project_block_vectors,
+        run_combiner,
+    )
+    from entity_resolution_ray.stages.joins import hash_join
+
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((400, 128))
+    y = (X[:, :64] * X[:, 64:]).sum(axis=1) > 0
+    model = NumpyLogisticPairModel.fit(X.astype(np.float64), y.astype(int))
+
+    featured = _er_featured(sf_dir)
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        group = _sorted(group)
+        n = len(group)
+        if n < 2:
+            return pd.DataFrame({
+                "block_key": pd.Series(dtype=object),
+                "src": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "prob": pd.Series(dtype="float64"),
+            })
+        Xb = project_block_vectors(group, 64)
+        ii, jj = np.triu_indices(n, 1)
+        prob = model.predict_proba(np.hstack([Xb[ii], Xb[jj]]))[:, 1]
+        docs = group["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "block_key": np.repeat(group["block_key"].iloc[0], len(ii)),
+            "src": docs[ii],
+            "dst": docs[jj],
+            "prob": prob,
+        })
+
+    pairs = featured.select_columns(
+        ["doc_id", "block_key", "tf_idx", "tf_cnt"]
+    ).groupby("block_key").map_groups(emit_pairs, batch_format="pandas")
+
+    docs_dir = "/tmp/er_pair_oracle/model_docs"
+    pairs_dir = "/tmp/er_pair_oracle/model_pairs"
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    featured.select_columns(["doc_id", "block_key"]).write_parquet(docs_dir)
+    pairs.write_parquet(pairs_dir)
+
+    clusters = run_combiner(
+        featured, make_model_combiner(model, th=0.9)
+    ).materialize()
+    reps = grouped_aggregate(
+        clusters, "cluster_id", {"cluster_rep": ("doc_id", "min")},
+        num_buckets=8,
+    )
+    out = hash_join(clusters, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_key", "cluster_rep"])
+
+
+ER_COMBINER_MODEL_SQL = """
+with recursive docs as (
+  select doc_id, block_key
+  from read_parquet('/tmp/er_pair_oracle/model_docs/*.parquet')
+),
+kept as (
+  select block_key, src, dst
+  from read_parquet('/tmp/er_pair_oracle/model_pairs/*.parquet')
+  where prob > 0.9::DOUBLE
+),
+bi as (
+  select block_key, src as a, dst as b from kept
+  union
+  select block_key, dst, src from kept
+),
+reach as (
+  select block_key, doc_id as node, doc_id as r from docs
+  union
+  select bi.block_key, bi.a, reach.r
+  from bi join reach on reach.node = bi.b and reach.block_key = bi.block_key
+),
+comp as (select block_key, node, min(r) as rep from reach group by 1, 2)
+select node as doc_id, block_key, rep as cluster_rep from comp
+"""
+
+
 def _sanctions_features(sf_dir: str):
     """Full sanction extractor battery over the deterministic nested-struct
     corpus (alias/birth/passport + organisation/nationality/aml/address/
@@ -1789,6 +1891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "er_combiner_model_canon": _er_combiner_model_canon,
         "er_clusters_canon": _er_clusters_canon,
         "er_cluster_sizes_canon": _er_cluster_sizes_canon,
         "approx_price_quantiles": R.q_approx_price_quantiles,
@@ -1837,12 +1940,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": R.q_embedding_neardup,
         "ann_topk": R.q_ann_topk,
         "jaccard_neardup": R.q_jaccard_neardup,
-        "doc_embeddings": R.q_doc_embeddings,
         # --- r5 window: touched-this-round + flagship canonicals ---
         "vocab_growth": R.q_vocab_growth,
         "event_transitions": R.q_event_transitions,
         # --- end of the 50-query driver window ---
         # oracled, driver-green in r3/r4 (rows ≤2 rounds old; below the window)
+        "doc_embeddings": R.q_doc_embeddings,
         "er_scored_pairs_canon": _er_scored_pairs_canon,
         "lineitem_unpivot": R.q_lineitem_unpivot,
         "er_pair_weights": _er_pair_weights,
@@ -1924,6 +2027,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "er_combiner_model_canon": ER_COMBINER_MODEL_SQL,
         "er_clusters_canon": ER_CLUSTERS_CANON_SQL,
         "er_cluster_sizes_canon": ER_CLUSTER_SIZES_SQL,
         "load_mentions_csv": R.Q_LOAD_MENTIONS_CSV_SQL,

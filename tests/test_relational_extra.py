@@ -313,7 +313,8 @@ def test_r5_oracles_parity_sf0001():
                  "ann_ivf_recall", "embedding_lsh_recall",
                  "ddsketch_price_audit", "heavy_hitters_audit",
                  "er_clusters_split_canon", "er_cluster_sizes_canon",
-                 "approx_price_quantiles", "er_clusters_canon"):
+                 "approx_price_quantiles", "er_clusters_canon",
+                 "er_combiner_model_canon"):
         mine = E.queries()[name](sf)
         if hasattr(mine, "to_pandas"):
             mine = mine.to_pandas()
