@@ -1040,6 +1040,134 @@ def _er_blocks_cutoff(sf_dir: str):
     )
 
 
+def _er_blocks_country_canon(sf_dir: str):
+    """CountryBlocker under a SQL oracle (reference
+    `am_combiner/blockers/country.py`).  Given data = the phonetic keys and
+    the mean-connectivity country ASSIGNMENTS (the one genuinely iterative
+    heuristic, extracted from the blocker's own split keys); DuckDB
+    independently re-derives everything else: the shared-key pair edges
+    (plain self-join — hot-key sharding preserves connectivity so the
+    closure is identical), the CC blocks, the size census, the
+    ``n > min_split_size`` split trigger, and the final key composition.
+    Strict BOTH ways: a doc the engine split in a block SQL says is small
+    keeps its suffix only on the engine side; a doc the engine failed to
+    split in a SQL-big block gets a ``+MISSING`` suffix only on the SQL
+    side — either divergence breaks the hash.  Engine hash block ids are
+    relabeled to canonical min-doc-id reps."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.geography import (
+        country_blocker,
+        geo_resolve_column,
+    )
+    from entity_resolution_ray.stages.joins import hash_join
+
+    featured = geo_resolve_column(_er_featured(sf_dir)).materialize()
+    out = country_blocker(
+        featured, ["phonetic_key"], min_split_size=500
+    ).materialize()
+
+    keys_dir = "/tmp/er_pair_oracle/country_keys"
+    assign_dir = "/tmp/er_pair_oracle/country_assign"
+    shutil.rmtree(keys_dir, ignore_errors=True)
+    shutil.rmtree(assign_dir, ignore_errors=True)
+    featured.select_columns(["doc_id", "phonetic_key"]).write_parquet(keys_dir)
+
+    def split_assignments(batch: pa.Table) -> pa.Table:
+        ids = batch["block_id"].to_pylist()
+        keys = batch["block_key"].to_pylist()
+        docs, countries = [], []
+        for d, bid, bk in zip(batch["doc_id"].to_pylist(), ids, keys):
+            if bk != bid:
+                docs.append(d)
+                countries.append(bk[len(bid) + 1:])  # strip "<block_id>+"
+        return pa.table({
+            "doc_id": pa.array(docs, pa.string()),
+            "country": pa.array(countries, pa.string()),
+        })
+
+    out.map_batches(
+        split_assignments, batch_format="pyarrow"
+    ).write_parquet(assign_dir)
+    # small corpora may split nothing: write_parquet then leaves no files,
+    # and DuckDB's read_parquet errors on an empty glob — pin the schema
+    # with one empty file so the oracle always runs
+    import glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if not glob.glob(_os.path.join(assign_dir, "*.parquet")):
+        _os.makedirs(assign_dir, exist_ok=True)
+        _pq.write_table(
+            pa.table({
+                "doc_id": pa.array([], pa.string()),
+                "country": pa.array([], pa.string()),
+            }),
+            _os.path.join(assign_dir, "empty.parquet"),
+        )
+
+    reps = grouped_aggregate(
+        out, "block_id", {"block_rep": ("doc_id", "min")}, num_buckets=8
+    )
+    joined = hash_join(out, reps, on="block_id", num_buckets=8)
+
+    def canon_keys(batch: pa.Table) -> pa.Table:
+        ids = batch["block_id"].to_pylist()
+        keys = batch["block_key"].to_pylist()
+        reps_ = batch["block_rep"].to_pylist()
+        canon = [
+            r + bk[len(bid):] if bk != bid else r
+            for bid, bk, r in zip(ids, keys, reps_)
+        ]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "block_rep": batch["block_rep"],
+            "block_key_canon": pa.array(canon, pa.string()),
+        })
+
+    return joined.map_batches(canon_keys, batch_format="pyarrow")
+
+
+ER_BLOCKS_COUNTRY_SQL = """
+with recursive docs as (
+  select doc_id, phonetic_key
+  from read_parquet('/tmp/er_pair_oracle/country_keys/*.parquet')
+),
+feat as (
+  select doc_id, phonetic_key as key from docs
+  where phonetic_key is not null and phonetic_key <> ''
+),
+pairs as (
+  select distinct a.doc_id as src, b.doc_id as dst
+  from feat a join feat b on a.key = b.key and a.doc_id < b.doc_id
+),
+bi as (select src as a, dst as b from pairs union select dst, src from pairs),
+reach as (
+  select doc_id as node, doc_id as r from docs
+  union
+  select bi.a, reach.r from bi join reach on reach.node = bi.b
+),
+comp as (select node, min(r) as rep from reach group by node),
+census as (select rep, count(*) as n from comp group by rep),
+assign as (
+  select doc_id, country
+  from read_parquet('/tmp/er_pair_oracle/country_assign/*.parquet')
+)
+select c.node as doc_id, c.rep as block_rep,
+       case when s.n > 500
+            then c.rep || '+' || coalesce(a.country, 'MISSING')
+            else c.rep end as block_key_canon
+from comp c
+join census s on s.rep = c.rep
+left join assign a on a.doc_id = c.node
+"""
+
+
 def _er_combiner_model(sf_dir: str):
     """Model-based pair combiner: deterministic numpy logistic model over
     concatenated projected doc vectors (the pickled-sklearn hook)."""
@@ -1891,6 +2019,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "er_blocks_country_canon": _er_blocks_country_canon,
         "er_combiner_model_canon": _er_combiner_model_canon,
         "er_clusters_canon": _er_clusters_canon,
         "er_cluster_sizes_canon": _er_cluster_sizes_canon,
@@ -1939,12 +2068,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": R.q_token_topk,
         "embedding_neardup": R.q_embedding_neardup,
         "ann_topk": R.q_ann_topk,
-        "jaccard_neardup": R.q_jaccard_neardup,
         # --- r5 window: touched-this-round + flagship canonicals ---
         "vocab_growth": R.q_vocab_growth,
         "event_transitions": R.q_event_transitions,
         # --- end of the 50-query driver window ---
         # oracled, driver-green in r3/r4 (rows ≤2 rounds old; below the window)
+        "jaccard_neardup": R.q_jaccard_neardup,
         "doc_embeddings": R.q_doc_embeddings,
         "er_scored_pairs_canon": _er_scored_pairs_canon,
         "lineitem_unpivot": R.q_lineitem_unpivot,
@@ -2027,6 +2156,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "er_blocks_country_canon": ER_BLOCKS_COUNTRY_SQL,
         "er_combiner_model_canon": ER_COMBINER_MODEL_SQL,
         "er_clusters_canon": ER_CLUSTERS_CANON_SQL,
         "er_cluster_sizes_canon": ER_CLUSTER_SIZES_SQL,
