@@ -71,6 +71,26 @@ def fit_topics(ds, n_topics: int = 20, sample: int = 2000, dim: int = TOPIC_DIM,
     return (H / norms).astype(np.float64)
 
 
+def _nmf_infer(A: np.ndarray, HHt: np.ndarray, iters: int) -> np.ndarray:
+    """Multiplicative-update inference fold: ``W ← W · (A / max(W·HHᵀ, ε))``
+    from uniform ``W``, then row-normalize.  The k-wide contractions are
+    deliberately explicit left-to-right accumulations (vectorized across
+    docs, no BLAS/FMA reduction) so every float op has a pinned IEEE
+    evaluation order — ``doc_topics_canon`` restates all ``iters`` rounds
+    bit-exact in SQL from the same ``A`` / ``HHt`` given data."""
+    k = HHt.shape[0]
+    W = np.full((A.shape[0], k), 1.0 / k)
+    for _ in range(iters):
+        D = W[:, 0:1] * HHt[0:1, :]
+        for j in range(1, k):
+            D = D + W[:, j:j + 1] * HHt[j:j + 1, :]
+        W = W * (A / np.maximum(D, 1e-10))
+    s = W[:, 0].copy()
+    for j in range(1, k):
+        s = s + W[:, j]
+    return W / np.maximum(s, 1e-10)[:, None]
+
+
 def topic_distributions(ds, H: np.ndarray, text_col: str = "content",
                         infer_iters: int = 30):
     """Append ``topic_vec`` (normalized weights) + ``topic_id`` (argmax) per
@@ -84,12 +104,7 @@ def topic_distributions(ds, H: np.ndarray, text_col: str = "content",
 
         Hm = fetch_broadcast(href)
         X = _doc_term_rows(batch[text_col].to_pylist(), Hm.shape[1])
-        W = np.full((len(X), Hm.shape[0]), 1.0 / Hm.shape[0])
-        HHt = Hm @ Hm.T
-        for _ in range(infer_iters):
-            W *= (X @ Hm.T) / np.maximum(W @ HHt, 1e-10)
-        sums = np.maximum(W.sum(axis=1, keepdims=True), 1e-10)
-        W = W / sums
+        W = _nmf_infer(X @ Hm.T, Hm @ Hm.T, infer_iters)
         return batch.append_column(
             "topic_vec",
             pa.array([row.astype(np.float32).tolist() for row in W],
