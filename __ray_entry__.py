@@ -1288,6 +1288,100 @@ select node as doc_id, block_key, rep as cluster_rep from comp
 """
 
 
+def _er_combiner_gcn_canon(sf_dir: str):
+    """GCN combiner under a SQL oracle, model-canon-style (reference
+    `am_combiner/combiners/ml.py:160-209`): the per-block pairwise cosine
+    SIMILARITIES of the L2-normalized SAGE embeddings (same `gcn_embed`
+    the combiner runs) go to parquet as given data; DuckDB independently
+    re-derives the block-size census, the LARGE-CLUSTER THRESHOLD BUMP
+    (`sim > 0.85 + (0.02 if n > 400 else 0)` with the sum written as the
+    same two-double add), the kept edges, and the per-block connected
+    components with canonical min-doc-id labels.  Pins the whole decision
+    chain after the numpy forward pass — threshold rule, bump trigger,
+    closure."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.combiners import _sorted, run_combiner
+    from entity_resolution_ray.stages.gcn import _l2_rows, gcn_embed
+    from entity_resolution_ray.stages.joins import hash_join
+
+    featured = _er_featured(sf_dir)
+
+    def emit_sims(group: pd.DataFrame) -> pd.DataFrame:
+        group = _sorted(group)
+        n = len(group)
+        if n < 2:
+            return pd.DataFrame({
+                "block_key": pd.Series(dtype=object),
+                "src": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "sim": pd.Series(dtype="float64"),
+            })
+        E = _l2_rows(gcn_embed(group, 64, 32))
+        sim = E @ E.T
+        ii, jj = np.triu_indices(n, 1)
+        docs = group["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "block_key": np.repeat(group["block_key"].iloc[0], len(ii)),
+            "src": docs[ii],
+            "dst": docs[jj],
+            "sim": sim[ii, jj],
+        })
+
+    pairs = featured.select_columns(
+        ["doc_id", "block_key", "tf_idx", "tf_cnt",
+         "person_clean", "org", "gpe", "loc"]
+    ).groupby("block_key").map_groups(emit_sims, batch_format="pandas")
+
+    docs_dir = "/tmp/er_pair_oracle/gcn_docs"
+    pairs_dir = "/tmp/er_pair_oracle/gcn_pairs"
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    featured.select_columns(["doc_id", "block_key"]).write_parquet(docs_dir)
+    pairs.write_parquet(pairs_dir)
+
+    clusters = run_combiner(featured, "gcn").materialize()
+    reps = grouped_aggregate(
+        clusters, "cluster_id", {"cluster_rep": ("doc_id", "min")},
+        num_buckets=8,
+    )
+    out = hash_join(clusters, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_key", "cluster_rep"])
+
+
+ER_COMBINER_GCN_SQL = """
+with recursive docs as (
+  select doc_id, block_key
+  from read_parquet('/tmp/er_pair_oracle/gcn_docs/*.parquet')
+),
+census as (select block_key, count(*) as n from docs group by block_key),
+kept as (
+  select p.block_key, p.src, p.dst
+  from read_parquet('/tmp/er_pair_oracle/gcn_pairs/*.parquet') p
+  join census c on c.block_key = p.block_key
+  where p.sim > (0.85::DOUBLE
+                 + case when c.n > 400 then 0.02::DOUBLE else 0.0::DOUBLE end)
+),
+bi as (
+  select block_key, src as a, dst as b from kept
+  union
+  select block_key, dst, src from kept
+),
+reach as (
+  select block_key, doc_id as node, doc_id as r from docs
+  union
+  select bi.block_key, bi.a, reach.r
+  from bi join reach on reach.node = bi.b and reach.block_key = bi.block_key
+),
+comp as (select block_key, node, min(r) as rep from reach group by 1, 2)
+select node as doc_id, block_key, rep as cluster_rep from comp
+"""
+
+
 def _sanctions_features(sf_dir: str):
     """Full sanction extractor battery over the deterministic nested-struct
     corpus (alias/birth/passport + organisation/nationality/aml/address/
@@ -2157,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "er_combiner_gcn_canon": _er_combiner_gcn_canon,
         "doc_topics_canon": _doc_topics_canon,
         "er_blocks_country_canon": _er_blocks_country_canon,
         "er_combiner_model_canon": _er_combiner_model_canon,
@@ -2208,9 +2303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": R.q_embedding_neardup,
         "ann_topk": R.q_ann_topk,
         # --- r5 window: touched-this-round + flagship canonicals ---
-        "vocab_growth": R.q_vocab_growth,
         # --- end of the 50-query driver window ---
         # oracled, driver-green in r3/r4 (rows ≤2 rounds old; below the window)
+        "vocab_growth": R.q_vocab_growth,
         "event_transitions": R.q_event_transitions,
         "jaccard_neardup": R.q_jaccard_neardup,
         "doc_embeddings": R.q_doc_embeddings,
@@ -2295,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "er_combiner_gcn_canon": ER_COMBINER_GCN_SQL,
         "doc_topics_canon": DOC_TOPICS_SQL,
         "er_blocks_country_canon": ER_BLOCKS_COUNTRY_SQL,
         "er_combiner_model_canon": ER_COMBINER_MODEL_SQL,
