@@ -1382,6 +1382,113 @@ select node as doc_id, block_key, rep as cluster_rep from comp
 """
 
 
+def _er_combiner_spectral_canon(sf_dir: str):
+    """Spectral (TFIDFAndGraph) combiner under a SQL oracle (reference
+    `am_combiner/combiners/tfidf.py:356-421`): the TWO per-pair channels —
+    block-local TF-IDF cosine and the RAW (pre-clip) spectral-embedding
+    cosine — go to parquet as given data; DuckDB independently re-derives
+    the clip to ``[-0.25, 0.65]`` (`greatest`/`least`, np.clip semantics),
+    the channel SUM, the ``> 0.5`` accept threshold, and the per-block
+    connected components with canonical min-doc-id labels.  Pins the whole
+    decision tail after the eigen solve — clip rule, fusion, threshold,
+    closure."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.combiners import (
+        _block_vectors,
+        _feature_sets,
+        _sorted,
+        run_combiner,
+    )
+    from entity_resolution_ray.stages.joins import hash_join
+    from entity_resolution_ray.stages.spectral import (
+        cosine_matrix,
+        laplacian_doc_vectors,
+    )
+
+    featured = _er_featured(sf_dir)
+
+    def emit_sims(group: pd.DataFrame) -> pd.DataFrame:
+        group = _sorted(group)
+        n = len(group)
+        if n < 2:
+            return pd.DataFrame({
+                "block_key": pd.Series(dtype=object),
+                "src": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "tfidf_cos": pd.Series(dtype="float64"),
+                "spec_cos": pd.Series(dtype="float64"),
+            })
+        X = _block_vectors(group)
+        tf_sim = X @ X.T
+        rows = laplacian_doc_vectors(
+            list(group["doc_id"]), list(group["entity_name"]),
+            _feature_sets(group),
+        )
+        spec = cosine_matrix(rows)
+        ii, jj = np.triu_indices(n, 1)
+        docs = group["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "block_key": np.repeat(group["block_key"].iloc[0], len(ii)),
+            "src": docs[ii],
+            "dst": docs[jj],
+            "tfidf_cos": tf_sim[ii, jj],
+            "spec_cos": spec[ii, jj],
+        })
+
+    pairs = featured.select_columns(
+        ["doc_id", "block_key", "entity_name", "tf_idx", "tf_cnt",
+         "person_clean", "org", "gpe", "loc"]
+    ).groupby("block_key").map_groups(emit_sims, batch_format="pandas")
+
+    docs_dir = "/tmp/er_pair_oracle/spectral_docs"
+    pairs_dir = "/tmp/er_pair_oracle/spectral_pairs"
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    featured.select_columns(["doc_id", "block_key"]).write_parquet(docs_dir)
+    pairs.write_parquet(pairs_dir)
+
+    clusters = run_combiner(featured, "tfidf_graph_cosine").materialize()
+    reps = grouped_aggregate(
+        clusters, "cluster_id", {"cluster_rep": ("doc_id", "min")},
+        num_buckets=8,
+    )
+    out = hash_join(clusters, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_key", "cluster_rep"])
+
+
+ER_COMBINER_SPECTRAL_SQL = """
+with recursive docs as (
+  select doc_id, block_key
+  from read_parquet('/tmp/er_pair_oracle/spectral_docs/*.parquet')
+),
+kept as (
+  select block_key, src, dst
+  from read_parquet('/tmp/er_pair_oracle/spectral_pairs/*.parquet')
+  where (tfidf_cos
+         + least(greatest(spec_cos, -0.25::DOUBLE), 0.65::DOUBLE))
+        > 0.5::DOUBLE
+),
+bi as (
+  select block_key, src as a, dst as b from kept
+  union
+  select block_key, dst, src from kept
+),
+reach as (
+  select block_key, doc_id as node, doc_id as r from docs
+  union
+  select bi.block_key, bi.a, reach.r
+  from bi join reach on reach.node = bi.b and reach.block_key = bi.block_key
+),
+comp as (select block_key, node, min(r) as rep from reach group by 1, 2)
+select node as doc_id, block_key, rep as cluster_rep from comp
+"""
+
+
 def _sanctions_features(sf_dir: str):
     """Full sanction extractor battery over the deterministic nested-struct
     corpus (alias/birth/passport + organisation/nationality/aml/address/
@@ -2251,6 +2358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "er_combiner_spectral_canon": _er_combiner_spectral_canon,
         "er_combiner_gcn_canon": _er_combiner_gcn_canon,
         "doc_topics_canon": _doc_topics_canon,
         "er_blocks_country_canon": _er_blocks_country_canon,
@@ -2301,10 +2409,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": R.q_exact_dedup,
         "token_topk": R.q_token_topk,
         "embedding_neardup": R.q_embedding_neardup,
-        "ann_topk": R.q_ann_topk,
-        # --- r5 window: touched-this-round + flagship canonicals ---
         # --- end of the 50-query driver window ---
-        # oracled, driver-green in r3/r4 (rows ≤2 rounds old; below the window)
+        # oracled, driver-green in r3 (rows 2 rounds old; re-swept green at
+        # sf0.01 in the r5 closeout parity sweep) or r4; below the window
+        "ann_topk": R.q_ann_topk,
         "vocab_growth": R.q_vocab_growth,
         "event_transitions": R.q_event_transitions,
         "jaccard_neardup": R.q_jaccard_neardup,
@@ -2390,6 +2498,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "er_combiner_spectral_canon": ER_COMBINER_SPECTRAL_SQL,
         "er_combiner_gcn_canon": ER_COMBINER_GCN_SQL,
         "doc_topics_canon": DOC_TOPICS_SQL,
         "er_blocks_country_canon": ER_BLOCKS_COUNTRY_SQL,
