@@ -629,6 +629,136 @@ def _multimodal_features(sf_dir: str):
     )
 
 
+def _multimodal_pipeline_canon(sf_dir: str):
+    """Multimodal frame-sample + resize plumbing under a SQL oracle.  The
+    deterministic payloads (given data: byte values + media_meta) go to
+    parquet; DuckDB independently re-derives the EVERY-K FRAME SCHEDULE
+    (``range(0, max(1, n_frames), 2)``), the per-frame byte-span slicing
+    (``span = len // n``), and the 16×16 → 8×8 AVERAGE POOL (each output
+    pixel = mean of its 2×2 byte block — sums of ≤4 small ints are exact in
+    float32, so the compare is bit-exact without any accumulation-order
+    pinning).  The engine side runs the real actor-pool stages
+    (``sample_frames`` → ``ResizeMedia`` fake mode); only the blake2b
+    payload synthesis enters as given data.  Pins the §2.15 multimodal
+    plumbing — schedule arithmetic, slicing, pooling geometry, metadata
+    rewrite — everything except the env-blocked codec call."""
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.multimodal import (
+        attach_fake_payloads,
+        resize_media,
+        sample_frames,
+    )
+    from entity_resolution_ray.stages.normalize import normalize
+
+    fx = _er_corpus(sf_dir)
+    docs = normalize(rd.read_parquet(
+        os.path.join(fx, "documents.parquet"), override_num_blocks=16
+    ))
+
+    def explode_refs(batch: pa.Table) -> pa.Table:
+        ids, refs = [], []
+        for doc, rlist in zip(
+            batch["doc_id"].to_pylist(), batch["media_refs"].to_pylist()
+        ):
+            for r in rlist:
+                ids.append(doc)
+                refs.append(r)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+        })
+
+    with_payload = attach_fake_payloads(
+        docs.map_batches(explode_refs, batch_format="pyarrow")
+    ).materialize()
+
+    def dump_given(batch: pa.Table) -> pa.Table:
+        metas = batch["media_meta"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        for m in metas:  # the generated SQL hardcodes the 16×16 source grid
+            assert m["width"] == 16 and m["height"] == 16
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "bytes": pa.array([list(p or b"") for p in payloads],
+                              pa.list_(pa.int16())),
+            "n_frames": pa.array([m["n_frames"] for m in metas], pa.int64()),
+            "len": pa.array([len(p or b"") for p in payloads], pa.int64()),
+        })
+
+    mm_dir = "/tmp/er_pair_oracle/multimodal_given"
+    shutil.rmtree(mm_dir, ignore_errors=True)
+    with_payload.map_batches(dump_given, batch_format="pyarrow").write_parquet(
+        mm_dir
+    )
+
+    out = resize_media(sample_frames(with_payload, every_k=2),
+                       target_w=8, target_h=8)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        pix = np.array(batch["pixels"].to_pylist(), dtype=np.float32)
+        metas = batch["media_meta"].to_pylist()
+        cols = {
+            "doc_id": batch["doc_id"],
+            "media_ref": batch["media_ref"],
+            "frame_index": pa.array(
+                batch["frame_index"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "out_w": pa.array([m["width"] for m in metas], pa.int64()),
+            "out_h": pa.array([m["height"] for m in metas], pa.int64()),
+        }
+        for i in range(64):
+            cols[f"p{i}"] = pa.array(pix[:, i].astype(np.float64),
+                                     pa.float64())
+        return pa.table(cols)
+
+    return out.map_batches(emit, batch_format="pyarrow")
+
+
+def _build_multimodal_sql() -> str:
+    """16×16 → 8×8 average pool + every-2 frame schedule, re-derived from
+    the dumped byte lists (1-based list indexing; frame-local offset
+    ``rr*16 + cc`` inside the ``frame_index*span`` slice)."""
+    pix = []
+    for r in range(8):
+        for c in range(8):
+            terms = " + ".join(
+                f"bytes[frame_index*span + {rr * 16 + cc} + 1]"
+                for rr in (2 * r, 2 * r + 1) for cc in (2 * c, 2 * c + 1)
+            )
+            pix.append(f"(({terms})::DOUBLE / 4.0) as p{r * 8 + c}")
+    cols = ",\n  ".join(pix)
+    return f"""
+with raw as (
+  select doc_id, media_ref, bytes, n_frames, len
+  from read_parquet('/tmp/er_pair_oracle/multimodal_given/*.parquet')
+),
+media as (
+  select *, greatest(1, n_frames) as n,
+         len // greatest(1, n_frames) as span
+  from raw
+),
+frames as (
+  select doc_id, media_ref, bytes, span,
+         unnest(range(0, n, 2)) as frame_index
+  from media
+)
+select doc_id, media_ref, frame_index,
+  8::BIGINT as out_w, 8::BIGINT as out_h,
+  {cols}
+from frames
+"""
+
+
+MULTIMODAL_PIPELINE_SQL = _build_multimodal_sql()
+
+
 def _er_combiner(name: str):
     def run(sf_dir: str):
         from entity_resolution_ray.stages.combiners import run_combiner
@@ -2358,6 +2488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "multimodal_pipeline_canon": _multimodal_pipeline_canon,
         "er_combiner_spectral_canon": _er_combiner_spectral_canon,
         "er_combiner_gcn_canon": _er_combiner_gcn_canon,
         "doc_topics_canon": _doc_topics_canon,
@@ -2408,10 +2539,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": R.q_lang_id,
         "exact_dedup": R.q_exact_dedup,
         "token_topk": R.q_token_topk,
-        "embedding_neardup": R.q_embedding_neardup,
         # --- end of the 50-query driver window ---
         # oracled, driver-green in r3 (rows 2 rounds old; re-swept green at
         # sf0.01 in the r5 closeout parity sweep) or r4; below the window
+        "embedding_neardup": R.q_embedding_neardup,
         "ann_topk": R.q_ann_topk,
         "vocab_growth": R.q_vocab_growth,
         "event_transitions": R.q_event_transitions,
@@ -2498,6 +2629,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "multimodal_pipeline_canon": MULTIMODAL_PIPELINE_SQL,
         "er_combiner_spectral_canon": ER_COMBINER_SPECTRAL_SQL,
         "er_combiner_gcn_canon": ER_COMBINER_GCN_SQL,
         "doc_topics_canon": DOC_TOPICS_SQL,
