@@ -1512,6 +1512,152 @@ select node as doc_id, block_key, rep as cluster_rep from comp
 """
 
 
+def _logit_cut(th) -> float:
+    """Largest double z with ``1/(1+np.exp(-z)) <= th`` — the exact decision
+    boundary of the numpy sigmoid, found by float bisection and validated by
+    a 5000-ULP monotonicity sweep on each side.  Lets SQL restate the
+    logistic threshold (`p > th` ⟺ `z > cut`) without needing bit-parity
+    between numpy's SIMD exp and libm exp (they differ on ~15% of inputs)."""
+    import numpy as np
+
+    th = np.float64(th)
+
+    def sig(z):
+        return 1.0 / (1.0 + np.exp(-np.float64(z)))
+
+    lo, hi = np.float64(0.0), np.float64(1.0)
+    for _ in range(200):
+        mid = np.float64((lo + hi) / 2)
+        if sig(mid) <= th:
+            lo = mid
+        else:
+            hi = mid
+        if np.nextafter(lo, hi) == hi:
+            break
+    assert sig(lo) <= th < sig(hi)
+    z = lo
+    for _ in range(5000):
+        z = np.nextafter(z, -np.inf)
+        assert sig(z) <= th
+    z = hi
+    for _ in range(5000):
+        z = np.nextafter(z, np.inf)
+        assert sig(z) > th
+    return float(lo)
+
+
+def _er_combiner_gcn_lc_canon(sf_dir: str):
+    """GCN linear-combination combiner under a SQL oracle (reference
+    `am_combiner/combiners/ml.py:252-271`): the TWO raw channels — block-
+    local TF-IDF cosine and hetero-SAGE embedding cosine — go to parquet as
+    given data; DuckDB re-derives the LOGISTIC FUSION ITSELF: the logit
+    ``z = (t·2.5 + g·2.5) + (−2.5)`` (bit-exact — the 2-term dot is
+    order-forced), the decision ``sigmoid(z) > th`` restated as ``z >
+    logit-cut`` with the exact double boundary from `_logit_cut` (numpy exp
+    and DuckDB exp differ in ULPs, but the decision is monotone — the cut is
+    bisected and ULP-sweep-validated), the large-cluster bump (``th 0.6 →
+    0.6+0.02`` when the census says n > 400), and the per-block closure with
+    canonical labels."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.combiners import (
+        _block_vectors,
+        _sorted,
+        run_combiner,
+    )
+    from entity_resolution_ray.stages.gcn import _l2_rows, gcn_hetero_embed
+    from entity_resolution_ray.stages.joins import hash_join
+
+    featured = _er_featured(sf_dir)
+
+    def emit_sims(group: pd.DataFrame) -> pd.DataFrame:
+        group = _sorted(group)
+        n = len(group)
+        if n < 2:
+            return pd.DataFrame({
+                "block_key": pd.Series(dtype=object),
+                "src": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "tfidf_cos": pd.Series(dtype="float64"),
+                "gcn_cos": pd.Series(dtype="float64"),
+            })
+        X = _block_vectors(group)
+        tf_sim = X @ X.T
+        E = _l2_rows(gcn_hetero_embed(group, 64, 32))
+        g_sim = E @ E.T
+        ii, jj = np.triu_indices(n, 1)
+        docs = group["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "block_key": np.repeat(group["block_key"].iloc[0], len(ii)),
+            "src": docs[ii],
+            "dst": docs[jj],
+            "tfidf_cos": tf_sim[ii, jj],
+            "gcn_cos": g_sim[ii, jj],
+        })
+
+    pairs = featured.select_columns(
+        ["doc_id", "block_key", "tf_idx", "tf_cnt",
+         "person_clean", "org", "gpe", "loc"]
+    ).groupby("block_key").map_groups(emit_sims, batch_format="pandas")
+
+    docs_dir = "/tmp/er_pair_oracle/gcnlc_docs"
+    pairs_dir = "/tmp/er_pair_oracle/gcnlc_pairs"
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    featured.select_columns(["doc_id", "block_key"]).write_parquet(docs_dir)
+    pairs.write_parquet(pairs_dir)
+
+    clusters = run_combiner(featured, "gcn_lc").materialize()
+    reps = grouped_aggregate(
+        clusters, "cluster_id", {"cluster_rep": ("doc_id", "min")},
+        num_buckets=8,
+    )
+    out = hash_join(clusters, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_key", "cluster_rep"])
+
+
+def _build_gcn_lc_sql() -> str:
+    import numpy as np
+
+    cut = _logit_cut(np.float64(0.6))
+    cut_bump = _logit_cut(np.float64(0.6) + np.float64(0.02))
+    return f"""
+with recursive docs as (
+  select doc_id, block_key
+  from read_parquet('/tmp/er_pair_oracle/gcnlc_docs/*.parquet')
+),
+census as (select block_key, count(*) as n from docs group by block_key),
+kept as (
+  select p.block_key, p.src, p.dst
+  from read_parquet('/tmp/er_pair_oracle/gcnlc_pairs/*.parquet') p
+  join census c on c.block_key = p.block_key
+  where ((p.tfidf_cos * 2.5 + p.gcn_cos * 2.5) + -2.5)
+        > case when c.n > 400 then {cut_bump!r}::DOUBLE
+               else {cut!r}::DOUBLE end
+),
+bi as (
+  select block_key, src as a, dst as b from kept
+  union
+  select block_key, dst, src from kept
+),
+reach as (
+  select block_key, doc_id as node, doc_id as r from docs
+  union
+  select bi.block_key, bi.a, reach.r
+  from bi join reach on reach.node = bi.b and reach.block_key = bi.block_key
+),
+comp as (select block_key, node, min(r) as rep from reach group by 1, 2)
+select node as doc_id, block_key, rep as cluster_rep from comp
+"""
+
+
+ER_COMBINER_GCN_LC_SQL = _build_gcn_lc_sql()
+
+
 def _er_combiner_spectral_canon(sf_dir: str):
     """Spectral (TFIDFAndGraph) combiner under a SQL oracle (reference
     `am_combiner/combiners/tfidf.py:356-421`): the TWO per-pair channels —
@@ -2488,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "er_combiner_gcn_lc_canon": _er_combiner_gcn_lc_canon,
         "multimodal_pipeline_canon": _multimodal_pipeline_canon,
         "er_combiner_spectral_canon": _er_combiner_spectral_canon,
         "er_combiner_gcn_canon": _er_combiner_gcn_canon,
@@ -2538,10 +2685,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
         "exact_dedup": R.q_exact_dedup,
-        "token_topk": R.q_token_topk,
         # --- end of the 50-query driver window ---
         # oracled, driver-green in r3 (rows 2 rounds old; re-swept green at
         # sf0.01 in the r5 closeout parity sweep) or r4; below the window
+        "token_topk": R.q_token_topk,
         "embedding_neardup": R.q_embedding_neardup,
         "ann_topk": R.q_ann_topk,
         "vocab_growth": R.q_vocab_growth,
@@ -2629,6 +2776,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "er_combiner_gcn_lc_canon": ER_COMBINER_GCN_LC_SQL,
         "multimodal_pipeline_canon": MULTIMODAL_PIPELINE_SQL,
         "er_combiner_spectral_canon": ER_COMBINER_SPECTRAL_SQL,
         "er_combiner_gcn_canon": ER_COMBINER_GCN_SQL,
