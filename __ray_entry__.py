@@ -1814,6 +1814,117 @@ def _sanctions_gt(sf_dir: str):
     )
 
 
+def _sanctions_gt_canon(sf_dir: str):
+    """ManualOverlay ground-truth ASSEMBLY under a SQL oracle (reference
+    `am_combiner/utils/sanction_data.py:22-184`).  Given data = the raw
+    mentions, the raw overlay-profile table (with row order), and the
+    per-PROFILE hash split (the one blake2b-protocol piece — dumped from an
+    independent restatement of the split formula, so an engine-side formula
+    drift breaks the hash).  DuckDB re-derives everything else: the
+    source-id explode, the sm → profile mapping with the dict's LAST-WRITE-
+    WINS tie rule (`qualify row_number() ... order by row_ord desc,
+    list_ord desc`), the DENSE SORTED-PROFILE CODES (the reference's
+    sort + `.cat.codes`), the mention left-join with `-1` for unmatched,
+    the null-type → 'undefined' coalesce, `blocking_field = type`, and the
+    profile-less → 'train' split default."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+
+    from entity_resolution_ray.stages.sanctions import (
+        manual_overlay_ground_truth,
+        synth_overlay_profiles,
+        synth_sanctions,
+    )
+    from entity_resolution_ray.utils.hashing import stable_hash64
+
+    n = max(200, min(20_000, _er_docs_for(sf_dir) // 10))
+    sanctions = synth_sanctions(n)
+    profiles = synth_overlay_profiles(sanctions)
+
+    base = "/tmp/er_pair_oracle/gt"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    _pq.write_table(
+        sanctions.select(["sanction_id", "type"]),
+        os.path.join(base, "mentions.parquet"),
+    )
+    _pq.write_table(
+        profiles.append_column(
+            "row_ord", pa.array(range(len(profiles)), pa.int64())
+        ),
+        os.path.join(base, "profiles.parquet"),
+    )
+
+    def split_of(p: str) -> str:  # independent restatement of the protocol
+        r = stable_hash64(f"0:{p}") % 10_000
+        if r < 0.2 * 10_000:
+            return "test"
+        if r < 0.4 * 10_000:
+            return "valid"
+        return "train"
+
+    prof_ids = profiles.column("profile_id").to_pylist()
+    _pq.write_table(
+        pa.table({
+            "profile_id": pa.array(prof_ids, pa.string()),
+            "split": pa.array([split_of(p) for p in prof_ids], pa.string()),
+        }),
+        os.path.join(base, "splits.parquet"),
+    )
+
+    return manual_overlay_ground_truth(
+        rd.from_arrow(sanctions), profiles.to_pandas(),
+        test_prop=0.2, valid_prop=0.2,
+    )
+
+
+SANCTIONS_GT_SQL = """
+with m as (
+  select sanction_id, type
+  from read_parquet('/tmp/er_pair_oracle/gt/mentions.parquet')
+),
+prof as (
+  select profile_id, source_entity_ids, row_ord
+  from read_parquet('/tmp/er_pair_oracle/gt/profiles.parquet')
+),
+exploded as (
+  select profile_id,
+         unnest(source_entity_ids) as sm,
+         unnest(range(1, len(source_entity_ids) + 1)) as list_ord,
+         row_ord
+  from prof
+),
+mapping as (
+  select sm, profile_id from exploded
+  qualify row_number()
+          over (partition by sm order by row_ord desc, list_ord desc) = 1
+),
+codes as (
+  select profile_id,
+         (row_number() over (order by profile_id) - 1)::BIGINT as code
+  from (select distinct profile_id from exploded)
+),
+sp as (
+  select profile_id, split
+  from read_parquet('/tmp/er_pair_oracle/gt/splits.parquet')
+)
+select m.sanction_id,
+       mp.profile_id,
+       coalesce(c.code, -1::BIGINT) as ground_truth,
+       coalesce(m.type, 'undefined') as type,
+       coalesce(m.type, 'undefined') as blocking_field,
+       coalesce(s.split, 'train') as split
+from m
+left join mapping mp on mp.sm = m.sanction_id
+left join codes c on c.profile_id = mp.profile_id
+left join sp s on s.profile_id = mp.profile_id
+"""
+
+
 def _doc_terms(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -2634,6 +2745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "sanctions_gt_canon": _sanctions_gt_canon,
         "er_combiner_gcn_lc_canon": _er_combiner_gcn_lc_canon,
         "multimodal_pipeline_canon": _multimodal_pipeline_canon,
         "er_combiner_spectral_canon": _er_combiner_spectral_canon,
@@ -2684,10 +2796,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_docs": R.q_stratified_docs,
         "doc_stats": R.q_doc_stats,
         "lang_id": R.q_lang_id,
-        "exact_dedup": R.q_exact_dedup,
         # --- end of the 50-query driver window ---
         # oracled, driver-green in r3 (rows 2 rounds old; re-swept green at
         # sf0.01 in the r5 closeout parity sweep) or r4; below the window
+        "exact_dedup": R.q_exact_dedup,
         "token_topk": R.q_token_topk,
         "embedding_neardup": R.q_embedding_neardup,
         "ann_topk": R.q_ann_topk,
@@ -2776,6 +2888,7 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "sanctions_gt_canon": SANCTIONS_GT_SQL,
         "er_combiner_gcn_lc_canon": ER_COMBINER_GCN_LC_SQL,
         "multimodal_pipeline_canon": MULTIMODAL_PIPELINE_SQL,
         "er_combiner_spectral_canon": ER_COMBINER_SPECTRAL_SQL,
