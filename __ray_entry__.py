@@ -1512,6 +1512,276 @@ select node as doc_id, block_key, rep as cluster_rep from comp
 """
 
 
+def _er_combiner_gcn_hetero_canon(sf_dir: str):
+    """Hetero-GCN combiner under a SQL oracle — completes the combiner-
+    family canon set (same decision chain as `er_combiner_gcn_canon`, fed by
+    the per-relation SAGE + mean-aggregate embedding of
+    `gcn_hetero_embed`): given per-block embedding cosines, DuckDB
+    re-derives census, `0.85 + 0.02·[n>400]` threshold, kept edges, and
+    per-block CC with canonical labels."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.combiners import _sorted, run_combiner
+    from entity_resolution_ray.stages.gcn import _l2_rows, gcn_hetero_embed
+    from entity_resolution_ray.stages.joins import hash_join
+
+    featured = _er_featured(sf_dir)
+
+    def emit_sims(group: pd.DataFrame) -> pd.DataFrame:
+        group = _sorted(group)
+        n = len(group)
+        if n < 2:
+            return pd.DataFrame({
+                "block_key": pd.Series(dtype=object),
+                "src": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "sim": pd.Series(dtype="float64"),
+            })
+        E = _l2_rows(gcn_hetero_embed(group, 64, 32))
+        sim = E @ E.T
+        ii, jj = np.triu_indices(n, 1)
+        docs = group["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "block_key": np.repeat(group["block_key"].iloc[0], len(ii)),
+            "src": docs[ii],
+            "dst": docs[jj],
+            "sim": sim[ii, jj],
+        })
+
+    pairs = featured.select_columns(
+        ["doc_id", "block_key", "tf_idx", "tf_cnt",
+         "person_clean", "org", "gpe", "loc"]
+    ).groupby("block_key").map_groups(emit_sims, batch_format="pandas")
+
+    docs_dir = "/tmp/er_pair_oracle/gcnhet_docs"
+    pairs_dir = "/tmp/er_pair_oracle/gcnhet_pairs"
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    featured.select_columns(["doc_id", "block_key"]).write_parquet(docs_dir)
+    pairs.write_parquet(pairs_dir)
+
+    clusters = run_combiner(featured, "gcn_hetero").materialize()
+    reps = grouped_aggregate(
+        clusters, "cluster_id", {"cluster_rep": ("doc_id", "min")},
+        num_buckets=8,
+    )
+    out = hash_join(clusters, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_key", "cluster_rep"])
+
+
+ER_COMBINER_GCN_HET_SQL = """
+with recursive docs as (
+  select doc_id, block_key
+  from read_parquet('/tmp/er_pair_oracle/gcnhet_docs/*.parquet')
+),
+census as (select block_key, count(*) as n from docs group by block_key),
+kept as (
+  select p.block_key, p.src, p.dst
+  from read_parquet('/tmp/er_pair_oracle/gcnhet_pairs/*.parquet') p
+  join census c on c.block_key = p.block_key
+  where p.sim > (0.85::DOUBLE
+                 + case when c.n > 400 then 0.02::DOUBLE else 0.0::DOUBLE end)
+),
+bi as (
+  select block_key, src as a, dst as b from kept
+  union
+  select block_key, dst, src from kept
+),
+reach as (
+  select block_key, doc_id as node, doc_id as r from docs
+  union
+  select bi.block_key, bi.a, reach.r
+  from bi join reach on reach.node = bi.b and reach.block_key = bi.block_key
+),
+comp as (select block_key, node, min(r) as rep from reach group by 1, 2)
+select node as doc_id, block_key, rep as cluster_rep from comp
+"""
+
+
+def _er_combiner_featr_graph_canon(sf_dir: str):
+    """Featr-graph combiner under a SQL oracle with the DEEPEST fusion
+    re-derivation of the combiner canons (reference
+    `am_combiner/combiners/tfidf.py:424-577`).  Given data per pair: the
+    TF-IDF cosine, the RAW feature-adjacency weight (pre-clip/pre-scale),
+    and the RAW subgraph spectral cosine (null for pairs the engine put in
+    no ≥5-member subgraph).  DuckDB independently re-derives: the feature
+    channel's clip+scale (`min(max(w,0),75)/75`), the SUBGRAPH TRIGGER —
+    connected components over `w ≥ 1.0` edges by recursive CTE, size
+    census, the ≥5-member rule (a true cross-check of the engine's
+    union_find), the spectral channel's clip to `[0, 0.15]` with 0 outside
+    subgraphs, the fusion `t + (clip + map)` in the engine's exact
+    parenthesization, the `> 0.4` threshold, and the per-block closure
+    with canonical labels."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+
+    from entity_resolution_ray.stages.aggregate import grouped_aggregate
+    from entity_resolution_ray.stages.blocking import (
+        FEATURE_COLS,
+        _block_postings,
+        _posting_pairs,
+    )
+    from entity_resolution_ray.stages.clustering import union_find
+    from entity_resolution_ray.stages.combiners import (
+        _block_vectors,
+        _feature_sets,
+        _sorted,
+        run_combiner,
+    )
+    from entity_resolution_ray.stages.joins import hash_join
+    from entity_resolution_ray.stages.spectral import (
+        cosine_matrix,
+        laplacian_doc_vectors,
+    )
+
+    featured = _er_featured(sf_dir)
+
+    def emit_channels(group: pd.DataFrame) -> pd.DataFrame:
+        group = _sorted(group)
+        n = len(group)
+        if n < 2:
+            return pd.DataFrame({
+                "block_key": pd.Series(dtype=object),
+                "src": pd.Series(dtype=object),
+                "dst": pd.Series(dtype=object),
+                "tfidf_cos": pd.Series(dtype="float64"),
+                "featr_w": pd.Series(dtype="float64"),
+                "spec_raw": pd.Series(dtype="float64"),
+            })
+        X = _block_vectors(group)
+        tf_sim = X @ X.T
+        postings = []
+        for col in FEATURE_COLS:
+            postings.extend(_block_postings(list(group[col]), cap=500))
+        fi, fj, fw = _posting_pairs(n, postings)
+        feature_adj = np.zeros((n, n), dtype=np.float64)
+        feature_adj[fi, fj] = fw
+        feature_adj[fj, fi] = fw
+        # raw (pre-clip) subgraph spectral cosines, NaN outside subgraphs
+        ei, ej = np.where(np.triu(feature_adj >= 1.0, 1))
+        comp = union_find(n, ei.astype(np.int64), ej.astype(np.int64))
+        spec_raw = np.full((n, n), np.nan)
+        doc_ids = list(group["doc_id"])
+        names = list(group["entity_name"])
+        fsets = _feature_sets(group)
+        for c in np.unique(comp):
+            members = np.flatnonzero(comp == c)
+            if len(members) < 5:
+                continue
+            rows = laplacian_doc_vectors(
+                [doc_ids[i] for i in members],
+                [names[i] for i in members],
+                [fsets[i] for i in members],
+            )
+            spec_raw[np.ix_(members, members)] = cosine_matrix(rows)
+        ii, jj = np.triu_indices(n, 1)
+        docs = group["doc_id"].to_numpy()
+        return pd.DataFrame({
+            "block_key": np.repeat(group["block_key"].iloc[0], len(ii)),
+            "src": docs[ii],
+            "dst": docs[jj],
+            "tfidf_cos": tf_sim[ii, jj],
+            "featr_w": feature_adj[ii, jj],
+            "spec_raw": spec_raw[ii, jj],
+        })
+
+    pairs = featured.select_columns(
+        ["doc_id", "block_key", "entity_name", "tf_idx", "tf_cnt",
+         "person_clean", "org", "gpe", "loc"]
+    ).groupby("block_key").map_groups(emit_channels, batch_format="pandas")
+
+    docs_dir = "/tmp/er_pair_oracle/featrg_docs"
+    pairs_dir = "/tmp/er_pair_oracle/featrg_pairs"
+    shutil.rmtree(docs_dir, ignore_errors=True)
+    shutil.rmtree(pairs_dir, ignore_errors=True)
+    featured.select_columns(["doc_id", "block_key"]).write_parquet(docs_dir)
+    pairs.write_parquet(pairs_dir)
+
+    clusters = run_combiner(
+        featured, "tfidf_featr_graph_cosine"
+    ).materialize()
+    reps = grouped_aggregate(
+        clusters, "cluster_id", {"cluster_rep": ("doc_id", "min")},
+        num_buckets=8,
+    )
+    out = hash_join(clusters, reps, on="cluster_id", num_buckets=8)
+    return out.select_columns(["doc_id", "block_key", "cluster_rep"])
+
+
+ER_COMBINER_FEATR_GRAPH_SQL = """
+with recursive pairs as (
+  select block_key, src, dst, tfidf_cos, featr_w, spec_raw
+  from read_parquet('/tmp/er_pair_oracle/featrg_pairs/*.parquet')
+),
+docs as (
+  select doc_id, block_key
+  from read_parquet('/tmp/er_pair_oracle/featrg_docs/*.parquet')
+),
+-- subgraph trigger: CC over w >= 1.0 edges, independently of the engine's
+-- union_find
+strong as (
+  select block_key, src, dst from pairs where featr_w >= 1.0::DOUBLE
+),
+sbi as (
+  select block_key, src as a, dst as b from strong
+  union
+  select block_key, dst, src from strong
+),
+sreach as (
+  select block_key, doc_id as node, doc_id as r from docs
+  union
+  select sbi.block_key, sbi.a, sreach.r
+  from sbi join sreach on sreach.node = sbi.b
+                       and sreach.block_key = sbi.block_key
+),
+scomp as (select block_key, node, min(r) as rep from sreach group by 1, 2),
+scensus as (
+  select block_key, rep, count(*) as n from scomp group by 1, 2
+),
+insub as (
+  select p.block_key, p.src, p.dst
+  from pairs p
+  join scomp a on a.block_key = p.block_key and a.node = p.src
+  join scomp b on b.block_key = p.block_key and b.node = p.dst
+  join scensus s on s.block_key = p.block_key and s.rep = a.rep
+  where a.rep = b.rep and s.n >= 5
+),
+kept as (
+  select p.block_key, p.src, p.dst
+  from pairs p
+  left join insub i on i.block_key = p.block_key
+                    and i.src = p.src and i.dst = p.dst
+  where (p.tfidf_cos
+         + ((least(greatest(p.featr_w, 0.0::DOUBLE), 75.0::DOUBLE)
+             / 75.0::DOUBLE)
+            + case when i.src is not null
+                   then least(greatest(p.spec_raw, 0.0::DOUBLE),
+                              0.15::DOUBLE)
+                   else 0.0::DOUBLE end))
+        > 0.4::DOUBLE
+),
+bi as (
+  select block_key, src as a, dst as b from kept
+  union
+  select block_key, dst, src from kept
+),
+reach as (
+  select block_key, doc_id as node, doc_id as r from docs
+  union
+  select bi.block_key, bi.a, reach.r
+  from bi join reach on reach.node = bi.b and reach.block_key = bi.block_key
+),
+comp as (select block_key, node, min(r) as rep from reach group by 1, 2)
+select node as doc_id, block_key, rep as cluster_rep from comp
+"""
+
+
 def _logit_cut(th) -> float:
     """Largest double z with ``1/(1+np.exp(-z)) <= th`` — the exact decision
     boundary of the numpy sigmoid, found by float bisection and validated by
@@ -2745,6 +3015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # flagship canonicals.  Non-oracled queries all sit below the window.
     return {
         # --- r5 window: newly-oracled this round (frontmost) ---
+        "er_combiner_featr_graph_canon": _er_combiner_featr_graph_canon,
+        "er_combiner_gcn_hetero_canon": _er_combiner_gcn_hetero_canon,
         "sanctions_gt_canon": _sanctions_gt_canon,
         "er_combiner_gcn_lc_canon": _er_combiner_gcn_lc_canon,
         "multimodal_pipeline_canon": _multimodal_pipeline_canon,
@@ -2794,11 +3066,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_upsert": R.q_customer_upsert,
         "label_centroids": R.q_label_centroids,
         "stratified_docs": R.q_stratified_docs,
-        "doc_stats": R.q_doc_stats,
-        "lang_id": R.q_lang_id,
         # --- end of the 50-query driver window ---
         # oracled, driver-green in r3 (rows 2 rounds old; re-swept green at
         # sf0.01 in the r5 closeout parity sweep) or r4; below the window
+        "lang_id": R.q_lang_id,
+        "doc_stats": R.q_doc_stats,
         "exact_dedup": R.q_exact_dedup,
         "token_topk": R.q_token_topk,
         "embedding_neardup": R.q_embedding_neardup,
@@ -2888,6 +3160,8 @@ def oracle_sql() -> dict[str, str]:
     from entity_resolution_ray.pipelines import relational as R
 
     return {
+        "er_combiner_featr_graph_canon": ER_COMBINER_FEATR_GRAPH_SQL,
+        "er_combiner_gcn_hetero_canon": ER_COMBINER_GCN_HET_SQL,
         "sanctions_gt_canon": SANCTIONS_GT_SQL,
         "er_combiner_gcn_lc_canon": ER_COMBINER_GCN_LC_SQL,
         "multimodal_pipeline_canon": MULTIMODAL_PIPELINE_SQL,
